@@ -1,0 +1,256 @@
+"""LSN-guarded, last-writer-wins MERGE INTO for LakeTable.
+
+Semantics reproduced from the reference's upsert layer:
+
+  * insert-if-absent                      (db.py:197-222, ON CONFLICT DO NOTHING)
+  * LWW update guarded by logical time    (db.py:249-269: `WHERE
+    target.last_transaction_lt < EXCLUDED.last_transaction_lt`)
+  * deletes (superset of the reference, which drops `d` ops —
+    parser/main.py:70-71; the north rule requires them): a delete wins
+    only if its LSN is newer than the target row's.
+
+Correctness-critical pre-step: **in-batch LSN-max dedup**. At-least-once
+delivery + multiple updates to one key per micro-batch mean the source
+can hold many rows per key; the merge must apply only the winner
+(max (lsn, op_rank)) — a real Iceberg MERGE would error on duplicate
+source keys. The dedup is a hash aggregation (`max(struct(...))`) so it
+gets map-side partial aggregation for free; for detected hot keys it runs
+two-phase with an explicit salt column (north rule skew handling): each
+shuffle partition first collapses (key, salt) groups, then the tiny
+residue is collapsed per key.
+
+Two physical strategies, chosen by deduped batch size:
+
+  * broadcast (the steady-state CDC case): the deduped update keys are
+    broadcast; affected target buckets stream through a map-side join
+    with zero shuffle of target data — the analogue of the reference's
+    per-row indexed point reads, at Spark scale.
+  * union-agg (bulk loads): target ∪ updates, one hash aggregation picks
+    the winner per key. No join at all, skew-resistant by partial agg.
+
+Both rewrite only the buckets that contain changed keys (copy-on-write)
+and commit atomically with per-bucket lineage + a metrics row.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, functions as F
+
+from .table import LakeTable
+
+BROADCAST_KEY_LIMIT = 4_000_000  # deduped keys above this -> union-agg plan
+
+
+def dedup_updates(
+    updates: DataFrame,
+    keys: list[str],
+    version_field: str,
+    data_cols: list[str],
+    salt: int | None = None,
+) -> DataFrame:
+    """Collapse an update batch to one winning row per key.
+
+    Winner = max (lsn, op_rank, ...) — a total, deterministic order, so
+    the result is identical regardless of partitioning/parallelism
+    (required for the N-vs-4N sha256 parity of BASELINE.json).
+    """
+    ordered = F.struct(
+        F.col(version_field).alias("_v"),
+        F.col("_op_rank").alias("_r"),
+        F.col("op").alias("op"),
+        *[F.col(c).alias(c) for c in data_cols],
+    )
+
+    def expand(df: DataFrame) -> DataFrame:
+        return df.select(
+            *keys,
+            F.col("_w._v").alias(version_field),
+            F.col("_w._r").alias("_op_rank"),
+            F.col("_w.op").alias("op"),
+            *[F.col(f"_w.{c}").alias(c) for c in data_cols],
+        )
+
+    if salt and salt > 1:
+        # explicit two-phase (salted) aggregation for hot keys: phase 1
+        # shuffles on (key, salt) spreading a mega-key over `salt`
+        # reducers; phase 2 sees <= salt rows per key.
+        salted = updates.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(version_field)), F.lit(salt)).cast("int")
+        )
+        phase1 = expand(
+            salted.groupBy(*keys, "_salt").agg(F.max(ordered).alias("_w"))
+        )
+        return expand(phase1.groupBy(*keys).agg(F.max(ordered).alias("_w")))
+    return expand(updates.groupBy(*keys).agg(F.max(ordered).alias("_w")))
+
+
+def merge_into(
+    table: LakeTable,
+    updates: DataFrame,
+    batch_id: int | None = None,
+    salt: int | None = None,
+    pre_deduped: bool = False,
+) -> dict:
+    """Apply a batch of change rows to the lake table.
+
+    `updates` columns: key fields + version field + `op` + the table's
+    data columns (missing/extra columns are aligned to the current
+    schema; deletes may carry nulls).
+
+    Returns a stats dict; `skipped=True` when `batch_id` was already
+    committed (exactly-once replay guard).
+    """
+    t0 = time.time()
+    m = table.manifest()
+    if batch_id is not None and batch_id <= m["batch_id"]:
+        return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
+
+    keys = m["key_fields"]
+    vf = m["version_field"]
+    all_cols = [f["name"] for f in m["fields"]]  # includes system _deleted
+    data_cols = [c for c in all_cols if c not in keys and c != vf]
+
+    # align update columns to current schema (schema evolution may have
+    # added columns mid-stream; older events simply carry nulls)
+    schema = table.schema(include_system=True)
+    aligned = updates
+    for f in schema.fields:
+        if f.name not in aligned.columns:
+            aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
+        else:
+            aligned = aligned.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    aligned = aligned.withColumn("_deleted", F.col("op") == "d")
+    if "_op_rank" not in aligned.columns:
+        aligned = aligned.withColumn(
+            "_op_rank",
+            F.when(F.col("op") == "d", F.lit(3))
+            .when(F.col("op") == "u", F.lit(2))
+            .when(F.col("op") == "c", F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    aligned = aligned.select(*keys, vf, "op", "_op_rank", *data_cols)
+
+    deduped = (
+        aligned
+        if pre_deduped
+        else dedup_updates(aligned, keys, vf, data_cols, salt=salt)
+    )
+    deduped = deduped.withColumn("_bucket", table.bucket_expr(m)).persist()
+
+    agg = deduped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(vf).alias("lsn_min"),
+        F.max(vf).alias("lsn_max"),
+        F.collect_set("_bucket").alias("buckets"),
+    ).collect()[0]
+    n_keys = agg["n"]
+    if n_keys == 0:
+        deduped.unpersist()
+        return {"skipped": True, "empty": True, "version": m["version"]}
+    affected = sorted(agg["buckets"])
+
+    # tombstones participate so the LSN guard protects deleted keys
+    target = table.read(buckets=affected, include_deleted=True)
+    strategy = "broadcast" if n_keys <= BROADCAST_KEY_LIMIT else "union_agg"
+
+    if strategy == "broadcast":
+        upd_keys = F.broadcast(
+            deduped.select(*keys, F.col(vf).alias("_u_lsn"))
+        )
+        t_keep = (
+            target.join(upd_keys, on=keys, how="left")
+            .filter(F.col("_u_lsn").isNull() | (F.col(vf) >= F.col("_u_lsn")))
+            .drop("_u_lsn")
+        )
+        matched = F.broadcast(
+            target.select(*keys, F.col(vf).alias("_t_lsn")).join(
+                F.broadcast(deduped.select(*keys)), on=keys, how="left_semi"
+            )
+        )
+        winners = (
+            deduped.join(matched, on=keys, how="left")
+            .filter(F.col("_t_lsn").isNull() | (F.col("_t_lsn") < F.col(vf)))
+            .select(*keys, vf, *data_cols)
+        )
+        resolved = t_keep.select(*keys, vf, *data_cols).unionByName(winners)
+    else:
+        t_side = target.select(
+            *keys,
+            vf,
+            F.lit(1).alias("_src"),  # tie on lsn -> target wins (strict guard)
+            F.lit(0).alias("_op_rank"),
+            *data_cols,
+        )
+        u_side = deduped.select(
+            *keys, vf, F.lit(0).alias("_src"), "_op_rank", *data_cols
+        )
+        ordered = F.struct(
+            F.col(vf).alias("_v"),
+            F.col("_src").alias("_s"),
+            F.col("_op_rank").alias("_r"),
+            *[F.col(c).alias(c) for c in data_cols],
+        )
+        won = t_side.unionByName(u_side).groupBy(*keys).agg(F.max(ordered).alias("_w"))
+        resolved = won.select(
+            *keys,
+            F.col("_w._v").alias(vf),
+            *[F.col(f"_w.{c}").alias(c) for c in data_cols],
+        )
+
+    new_version = m["version"] + 1
+    resolved = resolved.withColumn("_bucket", table.bucket_expr(m))
+    n_out = len(affected)
+    file_map = table.write_buckets(
+        resolved.repartition(max(n_out, 1), "_bucket"), "_bucket", new_version
+    )
+    deduped.unpersist()
+
+    # manifest: replace affected buckets, carry the rest
+    new_buckets = {
+        b: fl for b, fl in m["buckets"].items() if int(b) not in set(affected)
+    }
+    lineage = {}
+    rows_written = 0
+    for b in affected:
+        files = file_map.get(str(b), [])
+        new_buckets[str(b)] = files
+        rc = sum(
+            pq.ParquetFile(os.path.join(table.root, p)).metadata.num_rows
+            for p in files
+        )
+        rows_written += rc
+        lineage[str(b)] = {
+            "files": files,
+            "rows": rc,
+            "replaced": m["buckets"].get(str(b), []),
+        }
+    new_manifest = dict(
+        m,
+        version=new_version,
+        parent=m["version"],
+        batch_id=batch_id if batch_id is not None else m["batch_id"],
+        buckets=new_buckets,
+        lineage={
+            "type": "merge",
+            "strategy": strategy,
+            "lsn_range": [agg["lsn_min"], agg["lsn_max"]],
+            "buckets": lineage,
+        },
+    )
+    metrics = {
+        "version": new_version,
+        "batch_id": batch_id,
+        "strategy": strategy,
+        "updated_keys": n_keys,
+        "affected_buckets": len(affected),
+        "rows_in_affected_buckets_after": rows_written,
+        "lsn_min": agg["lsn_min"],
+        "lsn_max": agg["lsn_max"],
+        "wall_ms": int((time.time() - t0) * 1000),
+    }
+    table.commit(new_manifest, metrics)
+    return {"skipped": False, **metrics}

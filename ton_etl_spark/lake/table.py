@@ -1,0 +1,322 @@
+"""A minimal lakehouse table format: bucketed copy-on-write parquet with
+atomic manifest commits, field-id schema evolution, and time travel.
+
+Why hand-rolled: the engine targets Iceberg `MERGE INTO` semantics
+(BASELINE.json north_rule) but must run self-contained; this module
+implements the same contract on plain parquet:
+
+  * data is hash-bucketed on the key columns (`bucket =
+    pmod(xxhash64(*keys), bucket_count)`) so a MERGE touches only the
+    buckets containing changed keys — at 100 TB / 64k buckets a CDC
+    micro-batch rewrites a tiny fraction of the table;
+  * every commit writes new files plus a JSON manifest and atomically
+    swaps a `_current` pointer (os.replace) — readers always see a
+    consistent snapshot; old versions remain readable (time travel);
+  * commits record the streaming `batch_id`, so a replayed foreachBatch
+    epoch after checkpoint recovery is detected and skipped — this plus
+    the LSN-guarded merge gives exactly-once sink semantics (the
+    reference gets the same effect from at-least-once Kafka commits +
+    idempotent `ON CONFLICT` upserts, reference parser/main.py:85-90,
+    db.py:197-269);
+  * columns are stored under physical names `f<id>` keyed by a stable
+    field id, so renames are pure metadata and adds/widens never rewrite
+    data (Iceberg-style; reference evolves schema via `ALTER TABLE ..
+    ADD COLUMN IF NOT EXISTS`, database/createdb.sql:148,210-218);
+  * each commit carries per-bucket lineage (files, row counts, LSN
+    range) and a metrics row (north_rule: per-partition commit
+    manifests + lineage + metrics alongside each microbatch).
+
+Layout:
+    <root>/_versions/v<N>.json     commit manifests
+    <root>/_current                text file holding latest version number
+    <root>/_metrics/*.json         one metrics row per commit
+    <root>/data/v<N>/_bucket=<i>/  parquet files written by commit N
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from ..schemas import spark_type_from_string, type_to_string
+
+_WIDENINGS = {
+    # allowed in-place type widenings (read-side upcast, no rewrite)
+    "int": {"bigint", "double", "decimal(38,0)"},
+    "smallint": {"int", "bigint", "double"},
+    "float": {"double"},
+    "bigint": {"decimal(38,0)"},
+}
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- creation / loading -------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_fields: list[str],
+        version_field: str = "lsn",
+        bucket_count: int = 32,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        if os.path.exists(os.path.join(root, "_current")):
+            if not overwrite:
+                raise FileExistsError(f"lake table already exists at {root}")
+            shutil.rmtree(root)
+        os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_metrics"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": type_to_string(f.dataType)}
+            for i, f in enumerate(schema.fields)
+        ]
+        # system column: tombstone flag. Deletes keep a row (key + lsn +
+        # _deleted=true) instead of physically removing it, so the LSN
+        # guard also protects against late/duplicate pre-delete events
+        # resurrecting a dead key (the reference sidesteps this by
+        # dropping deletes entirely, parser/main.py:70-71 — the north
+        # rule requires real delete handling).
+        fields.append(
+            {"id": len(fields) + 1, "name": "_deleted", "type": "boolean",
+             "system": True}
+        )
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "batch_id": -1,
+            "fields": fields,
+            "next_field_id": len(fields) + 1,
+            "key_fields": key_fields,
+            "version_field": version_field,
+            "bucket_count": bucket_count,
+            "buckets": {},
+            "lineage": {},
+        }
+        t = LakeTable(spark, root)
+        t._write_manifest(manifest)
+        return t
+
+    # -- manifest machinery -------------------------------------------------
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, "_current")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.root, "_versions", f"v{v}.json")) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        v = manifest["version"]
+        path = os.path.join(self.root, "_versions", f"v{v}.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+        # atomic pointer swap — the commit point
+        cur, ctmp = os.path.join(self.root, "_current"), os.path.join(
+            self.root, f"_current.tmp.{uuid.uuid4().hex}"
+        )
+        with open(ctmp, "w") as f:
+            f.write(str(v))
+        os.replace(ctmp, cur)
+
+    def commit(self, manifest: dict, metrics: dict | None = None) -> None:
+        """Optimistic-concurrency commit: parent must still be current."""
+        if manifest["parent"] != self.current_version():
+            raise RuntimeError(
+                f"commit conflict: parent {manifest['parent']} != "
+                f"current {self.current_version()}"
+            )
+        self._write_manifest(manifest)
+        if metrics is not None:
+            mpath = os.path.join(
+                self.root, "_metrics", f"v{manifest['version']}.json"
+            )
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(metrics, f)
+            os.replace(tmp, mpath)
+
+    # -- schema -------------------------------------------------------------
+
+    def schema(
+        self, version: int | None = None, include_system: bool = False
+    ) -> T.StructType:
+        m = self.manifest(version)
+        return T.StructType(
+            [
+                T.StructField(f["name"], spark_type_from_string(f["type"]), True)
+                for f in m["fields"]
+                if include_system or not f.get("system")
+            ]
+        )
+
+    def _phys_schema(self, m: dict) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f"f{f['id']}", spark_type_from_string(f["type"]), True)
+                for f in m["fields"]
+            ]
+        )
+
+    def key_fields(self) -> list[str]:
+        return self.manifest()["key_fields"]
+
+    def version_field(self) -> str:
+        return self.manifest()["version_field"]
+
+    # schema evolution: all three are metadata-only commits --------------
+
+    def add_column(self, name: str, type_str: str, batch_id: int | None = None) -> None:
+        m = self.manifest()
+        if any(f["name"] == name for f in m["fields"]):
+            return  # ADD COLUMN IF NOT EXISTS semantics (createdb.sql:210)
+        new_field = {"id": m["next_field_id"], "name": name, "type": type_str}
+        # keep system fields (tombstone) last in logical column order
+        n_sys = sum(1 for f in m["fields"] if f.get("system"))
+        m["fields"].insert(len(m["fields"]) - n_sys, new_field)
+        m["next_field_id"] += 1
+        self._bump(m, batch_id, ddl=f"add {name} {type_str}")
+
+    def rename_column(self, old: str, new: str, batch_id: int | None = None) -> None:
+        m = self.manifest()
+        if not any(f["name"] == old for f in m["fields"]):
+            return
+        for f in m["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        self._bump(m, batch_id, ddl=f"rename {old} -> {new}")
+
+    def widen_column(self, name: str, new_type: str, batch_id: int | None = None) -> None:
+        m = self.manifest()
+        for f in m["fields"]:
+            if f["name"] == name:
+                if f["type"] == new_type:
+                    return
+                if new_type not in _WIDENINGS.get(f["type"], set()):
+                    raise ValueError(f"illegal widening {f['type']} -> {new_type}")
+                f["type"] = new_type
+        self._bump(m, batch_id, ddl=f"widen {name} -> {new_type}")
+
+    def _bump(self, m: dict, batch_id: int | None, ddl: str) -> None:
+        m["parent"], m["version"] = m["version"], m["version"] + 1
+        if batch_id is not None:
+            m["batch_id"] = batch_id
+        m["lineage"] = {"ddl": ddl}
+        self.commit(m)
+
+    # -- reads ----------------------------------------------------------------
+
+    def bucket_expr(self, m: dict | None = None) -> Column:
+        m = m or self.manifest()
+        keys = [F.col(k) for k in m["key_fields"]]
+        return F.pmod(F.xxhash64(*keys), F.lit(m["bucket_count"])).cast("int")
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Read the table (or selected buckets) aligned to the manifest schema.
+
+        Old data files may lack newly added field ids and may hold narrower
+        types; the explicit phys-schema read null-fills and upcasts
+        (Spark parquet reader type widening), so adds/renames/widens never
+        require a rewrite. Tombstoned rows are filtered unless
+        `include_deleted` (the merge path reads them to keep LSN guards
+        effective across deletes).
+        """
+        m = self.manifest(version)
+        files: list[str] = []
+        for b, flist in m["buckets"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(os.path.join(self.root, p) for p in flist)
+        phys = self._phys_schema(m)
+        logical = self.schema(version, include_system=True)
+        if not files:
+            df = self.spark.createDataFrame([], logical)
+        else:
+            df = self.spark.read.schema(phys).parquet(*files).select(
+                *[F.col(f"f{f['id']}").alias(f["name"]) for f in m["fields"]]
+            )
+        if include_deleted:
+            return df
+        return df.filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        ).drop("_deleted")
+
+    # -- writes (used by merge) ----------------------------------------------
+
+    def write_buckets(
+        self, df: DataFrame, bucket_col: str, version: int
+    ) -> dict[str, list[str]]:
+        """Write `df` partitioned by bucket under data/v<version>/ and return
+        {bucket: [relative file paths]} for the manifest. Physical column
+        names (f<id>) are applied here."""
+        m = self.manifest()
+        out_dir = os.path.join(self.root, "data", f"v{version}")
+        phys_cols = [
+            F.col(f["name"]).cast(spark_type_from_string(f["type"])).alias(f"f{f['id']}")
+            for f in m["fields"]
+        ]
+        (
+            df.select(*phys_cols, F.col(bucket_col).alias("_bucket"))
+            .write.partitionBy("_bucket")
+            .parquet(out_dir, compression="zstd")
+        )
+        out: dict[str, list[str]] = {}
+        for d in glob.glob(os.path.join(out_dir, "_bucket=*")):
+            b = d.rsplit("=", 1)[1]
+            out[b] = [
+                os.path.relpath(p, self.root)
+                for p in glob.glob(os.path.join(d, "*.parquet"))
+            ]
+        return out
+
+    # -- maintenance -----------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete data files not referenced by the last `keep_last` versions."""
+        cur = self.current_version()
+        keep: set[str] = set()
+        for v in range(max(0, cur - keep_last + 1), cur + 1):
+            for flist in self.manifest(v)["buckets"].values():
+                keep.update(flist)
+        removed = 0
+        for p in glob.glob(os.path.join(self.root, "data", "v*", "_bucket=*", "*.parquet")):
+            if os.path.relpath(p, self.root) not in keep:
+                os.remove(p)
+                removed += 1
+        return removed
+
+    def history(self) -> list[dict]:
+        out = []
+        for p in sorted(
+            glob.glob(os.path.join(self.root, "_versions", "v*.json")),
+            key=lambda p: int(os.path.basename(p)[1:-5]),
+        ):
+            with open(p) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "batch_id": m["batch_id"],
+                    "lineage": m.get("lineage", {}),
+                }
+            )
+        return out
