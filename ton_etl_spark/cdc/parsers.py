@@ -64,7 +64,13 @@ def debezium_int(value_b64: pd.Series, scale: pd.Series) -> pd.Series:
             return None
         try:
             unscaled = int.from_bytes(base64.b64decode(v), "big", signed=True)
-            return unscaled // (10 ** int(sc))
+            out = unscaled // (10 ** int(sc))
+            # NonCritical contract: a value outside int64 must not kill
+            # the Arrow batch — null it (callers needing 2^120-range
+            # amounts use DecimalType(38,0) columns instead)
+            if not (-(2**63) <= out < 2**63):
+                return None
+            return out
         except Exception:
             return None
 
