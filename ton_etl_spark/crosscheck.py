@@ -1,0 +1,115 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness check:
+row-count + column names + order-insensitive value hash.
+
+Usage:
+    python -m ton_etl_spark.crosscheck [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+from decimal import Decimal
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if v is None:
+        return "\x00"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # rounded upstream; normalize representation
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x01".join(_norm(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def run_crosscheck(spark, sf_dir: str, names: list[str] | None = None) -> dict:
+    import duckdb
+
+    from .queries import ORACLES, QUERIES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    out = {}
+    for name, fn in QUERIES.items():
+        if names and name not in names:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        entry = {"rows": len(srows), "cols": scols}
+        sql = ORACLES.get(name)
+        if sql is None:
+            entry["status"] = "rows_only"
+            entry["ok"] = len(srows) >= 0
+        else:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+            entry.update(
+                oracle_rows=len(orows),
+                cols_match=sorted(scols) == sorted(ocols),
+                count_match=len(srows) == len(orows),
+                hash_match=sh == oh,
+            )
+            entry["ok"] = (
+                entry["cols_match"] and entry["count_match"] and entry["hash_match"]
+            )
+            entry["status"] = "ok" if entry["ok"] else "MISMATCH"
+        out[name] = entry
+    return out
+
+
+def main():
+    from .session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or None
+    spark = get_spark("crosscheck")
+    results = run_crosscheck(spark, sf_dir, names)
+    bad = 0
+    for name, e in sorted(results.items()):
+        flag = "PASS" if e["ok"] else "FAIL"
+        if not e["ok"]:
+            bad += 1
+        print(f"{flag:4} {e['status']:9} {name:24} rows={e['rows']}", flush=True)
+        if not e["ok"]:
+            print("      detail:", {k: v for k, v in e.items() if k != "cols"})
+    print(f"{len(results) - bad}/{len(results)} passed")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,640 @@
+"""Operator query registry + DuckDB oracle SQL.
+
+One entry per implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators), runnable against the driver's
+testdata (`/root/testdata/sf*/`). Each Spark query has a matching ANSI
+SQL string producing identical column names and values (aggregates are
+rounded at the same points on both sides); operators whose kernels are
+not SQL-expressible (xxhash64 minhash, simhash, LSH ANN, the CDC replay
+itself) are registered without an oracle -> the driver records a
+rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from .functions import date_bucket, normalize_address, opcode_signed, opcode_unsigned
+from .operators import (
+    asof_join,
+    chain_signature,
+    exclude_rows,
+    latest_state,
+    time_decayed_avg,
+)
+from .operators import dedup as DD
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+from .operators.setops import except_dedup
+from .operators.text import analyze as text_analyze
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# CDC-core relational operators over `events` (key=user_id, order=ts)
+# ---------------------------------------------------------------------------
+
+def q_latest_state(spark, sf):
+    ev = _t(spark, sf, "events")
+    return latest_state(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+O_LATEST_STATE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       round(value, 6) AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_state_dedup(spark, sf):
+    # the merge kernel's LSN-max dedup as a standalone query (K2/T5):
+    # winner per (user_id, event_type) by highest event_id
+    ev = _t(spark, sf, "events")
+    won = ev.groupBy("user_id", "event_type").agg(
+        F.max(F.struct(F.col("event_id"), F.col("value"))).alias("_w")
+    )
+    return won.select(
+        "user_id",
+        "event_type",
+        F.col("_w.event_id").alias("last_event_id"),
+        F.round("_w.value", 6).alias("last_value"),
+    )
+
+
+O_STATE_DEDUP = """
+SELECT user_id, event_type, event_id AS last_event_id,
+       round(value, 6) AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY event_id DESC) = 1
+"""
+
+
+def q_asof_join(spark, sf):
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    out = asof_join(
+        purchases, signups, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"], strict=True,
+    )
+    return out.filter(F.col("asof_value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.round("asof_value", 6).alias("signup_value"),
+    )
+
+
+O_ASOF_JOIN = """
+SELECT p.user_id, p.event_id, round(s.value, 6) AS signup_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts > s.ts
+"""
+
+
+def q_decayed_avg(spark, sf):
+    ev = _t(spark, sf, "events").withColumn("es", F.unix_timestamp("ts"))
+    out = time_decayed_avg(ev, ["event_type"], "es", "value",
+                           window_s=1800, half_life_s=1800)
+    return out.select(
+        "event_type", "window_start",
+        F.round("decayed_avg", 6).alias("decayed_avg"), "n_obs",
+    )
+
+
+O_DECAYED_AVG = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events
+), w AS (
+  SELECT event_type, CAST(floor(es / 1800) * 1800 AS BIGINT) AS window_start,
+         es, value
+  FROM e
+)
+SELECT event_type, window_start,
+       round(sum(value * pow(2, -((window_start + 1800) - es) / 1800.0))
+             / sum(pow(2, -((window_start + 1800) - es) / 1800.0)), 6)
+         AS decayed_avg,
+       count(*) AS n_obs
+FROM w GROUP BY event_type, window_start
+"""
+
+
+def q_daily_rollup(spark, sf):
+    ev = _t(spark, sf, "events").withColumn("es", F.unix_timestamp("ts"))
+    return ev.groupBy(
+        "event_type", date_bucket(F.col("es")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+O_DAILY_ROLLUP = """
+SELECT event_type, strftime(ts, '%Y%m%d') AS day, count(*) AS n,
+       round(sum(value), 4) AS sum_value, round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type, day
+"""
+
+
+def q_chain_signature(spark, sf):
+    ev = _t(spark, sf, "events")
+    return chain_signature(ev, "user_id", ["ts", "event_id"], "event_type", 4)
+
+
+O_CHAIN_SIGNATURE = """
+WITH l AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS evs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       array_to_string(evs[greatest(len(evs) - 3, 1):len(evs)], ',') AS chain
+FROM l
+"""
+
+
+def q_except_dedup(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    target = ev.filter(F.col("event_id") % 3 == 0)
+    newr = _t(spark, sf, "events").filter(
+        F.col("ts") >= F.lit("2024-01-25")
+    ).select("event_id", "user_id", "event_type")
+    return except_dedup(newr, target)
+
+
+O_EXCEPT_DEDUP = """
+SELECT event_id, user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-25'
+EXCEPT
+SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_exclusion_antijoin(spark, sf):
+    ev = _t(spark, sf, "events")
+    excl = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 190)
+    ).select("user_id")
+    kept = exclude_rows(ev, excl, ["user_id"])
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+O_EXCLUSION_ANTIJOIN = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events x
+  WHERE x.user_id = e.user_id AND x.event_type = 'error' AND x.value > 190
+)
+GROUP BY event_type
+"""
+
+
+def q_union_convert(spark, sf):
+    # P1: two source shapes projected into one export model, unioned
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.round("value", 6).alias("amount"),
+        F.lit("purchase").alias("src"),
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.round("value", 6).alias("amount"),
+        F.lit("error").alias("src"),
+    )
+    return a.unionByName(b)
+
+
+O_UNION_CONVERT = """
+SELECT event_id, user_id, round(value, 6) AS amount, 'purchase' AS src
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, user_id, round(value, 6) AS amount, 'error' AS src
+FROM events WHERE event_type = 'error'
+"""
+
+
+def q_running_window(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 10)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+O_RUNNING_WINDOW = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+FROM events WHERE user_id < 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational / TPC-H-ish coverage
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_region_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_REGION_REVENUE = """
+SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_topk_orders(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+O_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_brands(spark, sf):
+    return _t(spark, sf, "part").select("p_brand").distinct()
+
+
+O_DISTINCT_BRANDS = "SELECT DISTINCT p_brand FROM part"
+
+
+# ---------------------------------------------------------------------------
+# scalar function surface (E1/E2/E6)
+# ---------------------------------------------------------------------------
+
+def q_opcode_roundtrip(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 2000)
+    op = (F.col("event_id") * 2654435761) % 4294967296
+    signed = opcode_signed(op)
+    return ev.select(
+        "event_id",
+        signed.alias("op_signed"),
+        (opcode_unsigned(signed) == op).alias("roundtrip_ok"),
+    )
+
+
+O_OPCODE_ROUNDTRIP = """
+WITH t AS (
+  SELECT event_id, (event_id * 2654435761) % 4294967296 AS op
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id,
+       CASE WHEN op < 2147483648 THEN op ELSE op - 4294967296 END AS op_signed,
+       TRUE AS roundtrip_ok
+FROM t
+"""
+
+
+def q_normalize_address(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 1000)
+    addr = F.concat(
+        F.lit("raw/"), (F.col("user_id") % 3).cast("string"), F.lit("/"),
+        F.lower(F.hex(F.col("event_id") + 1)),
+    )
+    return ev.select(
+        "event_id", normalize_address(addr).alias("norm_addr")
+    )
+
+
+O_NORMALIZE_ADDRESS = """
+SELECT event_id,
+       (user_id % 3)::VARCHAR || ':' || upper(hex(event_id + 1)) AS norm_addr
+FROM events WHERE event_id < 1000
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: text analysis / dedup
+# ---------------------------------------------------------------------------
+
+_PUNCT_SQL = """'[.,;:!?()\\[\\]{}"'']'"""
+_SW = "'the','and','of','el','la','que','der','und','die','le','et','les'"
+
+
+def q_text_analyze(spark, sf):
+    return text_analyze(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+O_TEXT_ANALYZE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         regexp_split_to_array(trim(text), '\\s+') AS wtoks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks,
+    len(wtoks) AS n_tokens,
+    len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])'))
+      AS n_subtokens,
+    (length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))
+          / greatest(length(text), 1) AS raw_punct,
+    len(list_filter(toks, x -> x IN ({_SW})))
+          / greatest(len(toks), 1) AS raw_sw,
+    len(list_filter(toks, x -> x IN ('the','and','of'))) AS s_en,
+    len(list_filter(toks, x -> x IN ('el','la','que'))) AS s_es,
+    len(list_filter(toks, x -> x IN ('der','und','die'))) AS s_de,
+    len(list_filter(toks, x -> x IN ('le','et','les'))) AS s_fr
+  FROM t
+)
+SELECT doc_id, n_tokens, n_subtokens,
+  round(raw_punct, 6) AS punct_ratio,
+  round(raw_sw, 6) AS stopword_ratio,
+  round(0.5 * least(n_tokens / 100.0, 1.0)
+        + 0.3 * least(raw_sw * 5, 1.0)
+        + 0.2 * (1 - least(raw_punct * 4, 1.0)), 6) AS quality,
+  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+       ELSE 'fr' END AS pred_lang,
+  sha256(trim(regexp_replace(regexp_replace(lower(text), {_PUNCT_SQL}, '', 'g'),
+                             '\\s+', ' ', 'g'))) AS fingerprint
+FROM m
+"""
+
+
+def q_exact_dup_groups(spark, sf):
+    g = DD.exact_duplicates(_t(spark, sf, "documents"), "doc_id", "text")
+    return g.select(
+        "content_sha",
+        "n_docs",
+        F.concat_ws(
+            ",", F.transform(F.col("doc_ids"), lambda x: x.cast("string"))
+        ).alias("doc_ids"),
+    )
+
+
+O_EXACT_DUP_GROUPS = """
+SELECT sha256(text) AS content_sha, count(*) AS n_docs,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def q_jaccard_pairs(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    return DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.0, k=1)
+
+
+O_JACCARD_PAIRS = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+  FROM documents WHERE doc_id < 60
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.toks, b.toks))
+             / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+FROM s a, s b WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf):  # no SQL oracle: xxhash64 is Spark-side
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return DD.lsh_candidate_pairs(docs, "doc_id", "text", n_perm=16, bands=8)
+
+
+def q_simhash_pairs(spark, sf):  # no SQL oracle: blake2b simhash kernel
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return DD.simhash_near_dups(docs, "doc_id", "text", max_hamming=16,
+                                prefix_bits=4)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return SIM.cosine_topk(corpus, queries, "vec_id", "embedding", k=5)
+
+
+O_COSINE_TOPK = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+     v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+     s AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[])
+           AS raw_score
+  FROM q, v
+)
+SELECT query_id, neighbor_id, round(raw_score, 6) AS score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY raw_score DESC, neighbor_id) AS INT)
+         AS rank
+FROM s
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark, sf):  # no SQL oracle: LSH bucketing
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return SIM.ann_lsh_topk(corpus, queries, dim, k=5, n_planes=6, multiprobe=2)
+
+
+def q_embedding_norms(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return emb.groupBy("label").agg(
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+O_EMBEDDING_NORMS = """
+SELECT label,
+       round(avg(sqrt(list_aggregate(
+         list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))), 6)
+         AS avg_norm,
+       count(*) AS n_vecs
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# approx / multimodal / CDC demo (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_approx_distinct_users(spark, sf):  # approx sketch: no cross-engine oracle
+    return _t(spark, sf, "events").groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+def q_media_features(spark, sf):  # binary plumbing; decode is env-stubbed
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = MM.synthesize_media(docs)
+    return MM.extract_features(media, feature_dim=8).select(
+        "media_id", "kind", "n_bytes", "content_sha", "is_fake_decode"
+    )
+
+
+def q_cdc_replay_demo(spark, sf):  # the engine itself, small replay
+    import tempfile
+
+    from .cdc.pipeline import CdcPipeline
+    from .datagen import GenParams, generate_event_log
+    from .lake.table import LakeTable
+    from .schemas import REPOS_KEY_FIELDS, REPOS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="cdc_demo_")
+    generate_event_log(
+        f"{work}/events", GenParams(n_events=1500, n_repos=10, n_files=3)
+    )
+    table = LakeTable.create(
+        spark, f"{work}/lake", REPOS_SCHEMA, REPOS_KEY_FIELDS, "lsn",
+        bucket_count=8,
+    )
+    CdcPipeline(spark, table, f"{work}/events", f"{work}/cp").run_batch()
+    return table.read().select(
+        "repo", "path", "lsn", F.sha2("content", 256).alias("content_sha"),
+        "size_bytes",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "latest_state": q_latest_state,
+    "state_dedup": q_state_dedup,
+    "asof_join": q_asof_join,
+    "decayed_avg": q_decayed_avg,
+    "daily_rollup": q_daily_rollup,
+    "chain_signature": q_chain_signature,
+    "except_dedup": q_except_dedup,
+    "exclusion_antijoin": q_exclusion_antijoin,
+    "union_convert": q_union_convert,
+    "running_window": q_running_window,
+    "pricing_summary": q_pricing_summary,
+    "region_revenue": q_region_revenue,
+    "topk_orders": q_topk_orders,
+    "distinct_brands": q_distinct_brands,
+    "opcode_roundtrip": q_opcode_roundtrip,
+    "normalize_address": q_normalize_address,
+    "text_analyze": q_text_analyze,
+    "exact_dup_groups": q_exact_dup_groups,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_norms": q_embedding_norms,
+    "approx_distinct_users": q_approx_distinct_users,
+    "media_features": q_media_features,
+    "cdc_replay_demo": q_cdc_replay_demo,
+}
+
+ORACLES: dict[str, str] = {
+    "latest_state": O_LATEST_STATE,
+    "state_dedup": O_STATE_DEDUP,
+    "asof_join": O_ASOF_JOIN,
+    "decayed_avg": O_DECAYED_AVG,
+    "daily_rollup": O_DAILY_ROLLUP,
+    "chain_signature": O_CHAIN_SIGNATURE,
+    "except_dedup": O_EXCEPT_DEDUP,
+    "exclusion_antijoin": O_EXCLUSION_ANTIJOIN,
+    "union_convert": O_UNION_CONVERT,
+    "running_window": O_RUNNING_WINDOW,
+    "pricing_summary": O_PRICING_SUMMARY,
+    "region_revenue": O_REGION_REVENUE,
+    "topk_orders": O_TOPK_ORDERS,
+    "distinct_brands": O_DISTINCT_BRANDS,
+    "opcode_roundtrip": O_OPCODE_ROUNDTRIP,
+    "normalize_address": O_NORMALIZE_ADDRESS,
+    "text_analyze": O_TEXT_ANALYZE,
+    "exact_dup_groups": O_EXACT_DUP_GROUPS,
+    "jaccard_pairs": O_JACCARD_PAIRS,
+    "cosine_topk": O_COSINE_TOPK,
+    "embedding_norms": O_EMBEDDING_NORMS,
+}
