@@ -40,7 +40,7 @@ _UPSERT_WIRE_SCHEMA = T.StructType(
 
 
 @F.pandas_udf(T.StringType())
-def unpack_zb64(s: pd.Series) -> pd.Series:
+def _unpack_zb64(s: pd.Series) -> pd.Series:
     """zlib+base64 packed text -> text; None on any per-row failure."""
 
     def one(v):
@@ -52,6 +52,13 @@ def unpack_zb64(s: pd.Series) -> pd.Series:
             return None
 
     return s.map(one)
+
+
+# marked nondeterministic ON PURPOSE (it is pure): it stops Catalyst
+# from duplicating the decode into pushed-down filter stages — the
+# `_malformed` filter would otherwise re-evaluate the whole decode a
+# second time for every row (observed 2x decode cost in the plan).
+unpack_zb64 = _unpack_zb64.asNondeterministic()
 
 
 @F.pandas_udf(T.LongType())

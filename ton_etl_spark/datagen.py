@@ -278,7 +278,10 @@ def write_event_log(events: list[Event], out_dir: str, n_files: int) -> list[str
             }
         )
         fp = os.path.join(out_dir, f"chunk-{ci:05d}.parquet")
-        pq.write_table(tbl, fp, compression="zstd")
+        # small row groups so Spark can split one chunk across many scan
+        # tasks (parquet splits cannot cross row-group boundaries; one
+        # giant row group serializes the whole parse stage)
+        pq.write_table(tbl, fp, compression="zstd", row_group_size=16384)
         os.utime(fp, (t0 + ci, t0 + ci))
         paths.append(fp)
     return paths

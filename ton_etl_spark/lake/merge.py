@@ -51,8 +51,11 @@ def dedup_updates(
     version_field: str,
     data_cols: list[str],
     salt: int | None = None,
+    final: bool = True,
 ) -> DataFrame:
-    """Collapse an update batch to one winning row per key.
+    """Collapse an update batch to one winning row per key (or, with
+    final=False and salting active, to <= salt rows per key — a partial
+    pre-aggregation the caller's own aggregation must finish).
 
     Winner = max (lsn, op_rank, ...) — a total, deterministic order, so
     the result is identical regardless of partitioning/parallelism
@@ -77,13 +80,17 @@ def dedup_updates(
     if salt and salt > 1:
         # explicit two-phase (salted) aggregation for hot keys: phase 1
         # shuffles on (key, salt) spreading a mega-key over `salt`
-        # reducers; phase 2 sees <= salt rows per key.
+        # reducers. With final=False only phase 1 runs (<= salt rows per
+        # key survive) — the merge aggregation downstream finishes the
+        # job in ITS shuffle, saving a full pass over the batch.
         salted = updates.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(version_field)), F.lit(salt)).cast("int")
         )
         phase1 = expand(
             salted.groupBy(*keys, "_salt").agg(F.max(ordered).alias("_w"))
         )
+        if not final:
+            return phase1
         return expand(phase1.groupBy(*keys).agg(F.max(ordered).alias("_w")))
     return expand(updates.groupBy(*keys).agg(F.max(ordered).alias("_w")))
 
@@ -94,6 +101,7 @@ def merge_into(
     batch_id: int | None = None,
     salt: int | None = None,
     pre_deduped: bool = False,
+    precomputed: dict | None = None,
 ) -> dict:
     """Apply a batch of change rows to the lake table.
 
@@ -134,32 +142,70 @@ def merge_into(
         )
     aligned = aligned.select(*keys, vf, "op", "_op_rank", *data_cols)
 
+    # partial (salted) dedup only: the merge aggregation below finishes
+    # it, so the fat content rows cross one less shuffle. The broadcast
+    # strategy finalizes explicitly (it needs one row per source key).
     deduped = (
         aligned
         if pre_deduped
-        else dedup_updates(aligned, keys, vf, data_cols, salt=salt)
+        else dedup_updates(aligned, keys, vf, data_cols, salt=salt, final=False)
     )
-    deduped = deduped.withColumn("_bucket", table.bucket_expr(m)).persist()
+    deduped = deduped.withColumn("_bucket", table.bucket_expr(m))
 
-    agg = deduped.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(vf).alias("lsn_min"),
-        F.max(vf).alias("lsn_max"),
-        F.collect_set("_bucket").alias("buckets"),
-    ).collect()[0]
-    n_keys = agg["n"]
+    # batch stats (affected buckets / row bound / LSN range) may be
+    # precomputed by the caller from a cheap column-pruned scan of the
+    # RAW events (no payload decode) — then the decoded batch flows
+    # straight into the merge plan without any materialization.
+    t_agg = time.time()
+    persisted = False
+    if precomputed is not None:
+        n_keys = precomputed["n_upper"]
+        lsn_min, lsn_max = precomputed["lsn_min"], precomputed["lsn_max"]
+        affected = sorted(set(precomputed["buckets"]))
+    else:
+        deduped = deduped.persist()
+        persisted = True
+        agg = deduped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(vf).alias("lsn_min"),
+            F.max(vf).alias("lsn_max"),
+            F.collect_set("_bucket").alias("buckets"),
+        ).collect()[0]
+        n_keys = agg["n"]
+        lsn_min, lsn_max = agg["lsn_min"], agg["lsn_max"]
+        if n_keys == 0:
+            deduped.unpersist()
+            return {"skipped": True, "empty": True, "version": m["version"]}
+        affected = sorted(agg["buckets"])
     if n_keys == 0:
-        deduped.unpersist()
         return {"skipped": True, "empty": True, "version": m["version"]}
-    affected = sorted(agg["buckets"])
 
     # tombstones participate so the LSN guard protects deleted keys
     target = table.read(buckets=affected, include_deleted=True)
-    strategy = "broadcast" if n_keys <= BROADCAST_KEY_LIMIT else "union_agg"
+    # strategy: broadcast streams the (possibly huge) affected buckets
+    # map-side against broadcast update keys — right when the batch is
+    # narrow relative to the table. union_agg is one shuffle over
+    # affected-bucket rows + updates — fewer stages, right for bulk
+    # loads and for small affected data. Per-bucket row counts in the
+    # manifest make the decision free.
+    brows = m.get("bucket_rows", {})
+    affected_rows = sum(int(brows.get(str(b), 0)) for b in affected)
+    if n_keys > BROADCAST_KEY_LIMIT or affected_rows <= 4 * n_keys:
+        strategy = "union_agg"
+    else:
+        strategy = "broadcast"
 
     if strategy == "broadcast":
+        # the broadcast plan consumes the decoded batch twice -> cache it
+        if not persisted:
+            deduped = deduped.persist()
+            persisted = True
+        if not pre_deduped and salt and salt > 1:
+            deduped = dedup_updates(
+                deduped, keys, vf, data_cols, salt=None
+            ).withColumn("_bucket", table.bucket_expr(m))
         upd_keys = F.broadcast(
-            deduped.select(*keys, F.col(vf).alias("_u_lsn"))
+            deduped.groupBy(*keys).agg(F.max(vf).alias("_u_lsn"))
         )
         t_keep = (
             target.join(upd_keys, on=keys, how="left")
@@ -201,17 +247,29 @@ def merge_into(
             *[F.col(f"_w.{c}").alias(c) for c in data_cols],
         )
 
+    agg_ms = int((time.time() - t_agg) * 1000)
+
     new_version = m["version"] + 1
     resolved = resolved.withColumn("_bucket", table.bucket_expr(m))
-    n_out = len(affected)
-    file_map = table.write_buckets(
-        resolved.repartition(max(n_out, 1), "_bucket"), "_bucket", new_version
-    )
-    deduped.unpersist()
+    t_write = time.time()
+    # NO repartition before the bucketed write: the plans above end in
+    # a groupBy on the key columns (union_agg) or preserve the per-file
+    # bucket clustering (broadcast t_keep), and bucket ids are pmod of
+    # the SAME Murmur3 hash HashPartitioning uses — each task holds
+    # whole buckets already (requires bucket_count % shuffle.partitions
+    # == 0 for perfect alignment; misalignment only costs extra files).
+    file_map = table.write_buckets(resolved, "_bucket", new_version)
+    write_ms = int((time.time() - t_write) * 1000)
+    if persisted:
+        deduped.unpersist()
 
     # manifest: replace affected buckets, carry the rest
     new_buckets = {
         b: fl for b, fl in m["buckets"].items() if int(b) not in set(affected)
+    }
+    new_bucket_rows = {
+        b: n for b, n in m.get("bucket_rows", {}).items()
+        if int(b) not in set(affected)
     }
     lineage = {}
     rows_written = 0
@@ -222,6 +280,7 @@ def merge_into(
             pq.ParquetFile(os.path.join(table.root, p)).metadata.num_rows
             for p in files
         )
+        new_bucket_rows[str(b)] = rc
         rows_written += rc
         lineage[str(b)] = {
             "files": files,
@@ -234,10 +293,11 @@ def merge_into(
         parent=m["version"],
         batch_id=batch_id if batch_id is not None else m["batch_id"],
         buckets=new_buckets,
+        bucket_rows=new_bucket_rows,
         lineage={
             "type": "merge",
             "strategy": strategy,
-            "lsn_range": [agg["lsn_min"], agg["lsn_max"]],
+            "lsn_range": [lsn_min, lsn_max],
             "buckets": lineage,
         },
     )
@@ -248,8 +308,10 @@ def merge_into(
         "updated_keys": n_keys,
         "affected_buckets": len(affected),
         "rows_in_affected_buckets_after": rows_written,
-        "lsn_min": agg["lsn_min"],
-        "lsn_max": agg["lsn_max"],
+        "lsn_min": lsn_min,
+        "lsn_max": lsn_max,
+        "agg_ms": agg_ms,
+        "write_ms": write_ms,
         "wall_ms": int((time.time() - t0) * 1000),
     }
     table.commit(new_manifest, metrics)

@@ -102,6 +102,7 @@ class LakeTable:
             "version_field": version_field,
             "bucket_count": bucket_count,
             "buckets": {},
+            "bucket_rows": {},
             "lineage": {},
         }
         t = LakeTable(spark, root)
@@ -222,9 +223,15 @@ class LakeTable:
     # -- reads ----------------------------------------------------------------
 
     def bucket_expr(self, m: dict | None = None) -> Column:
+        """Bucket id of a row. Uses Spark's Murmur3 `hash` (the SAME
+        function HashPartitioning uses, seed 42): with bucket_count a
+        multiple of spark.sql.shuffle.partitions, every row of a bucket
+        lands in one reducer of any groupBy/repartition on the key
+        columns, so the bucketed write needs NO extra shuffle after the
+        merge aggregation (pmod(h, P) == pmod(pmod(h, k*P), P))."""
         m = m or self.manifest()
         keys = [F.col(k) for k in m["key_fields"]]
-        return F.pmod(F.xxhash64(*keys), F.lit(m["bucket_count"])).cast("int")
+        return F.pmod(F.hash(*keys), F.lit(m["bucket_count"])).cast("int")
 
     def read(
         self,

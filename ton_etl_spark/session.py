@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
+        # streaming CDC generates fresh codegen classes every micro-batch
+        # (plans embed file lists / batch literals); the default 240 MB
+        # code cache thrashes — C2 + the sweeper were observed burning
+        # whole cores while executors idled. Big cache + flushing fixes it.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         # classic (non-ANSI) eval semantics: the engine uses try_*-style
         # guards explicitly; oracle comparisons are unaffected.
         .config("spark.sql.ansi.enabled", "false")
