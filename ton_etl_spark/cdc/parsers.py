@@ -93,21 +93,30 @@ def sha256_col(c: Column) -> Column:
 def parse_file_upserts(events: DataFrame, lang_col_name: str = "lang") -> DataFrame:
     """file_upsert events -> update rows (repo, path, lsn, op, commit,
     <lang_col_name>, content, size_bytes, stars, _malformed)."""
-    p = events.withColumn("_p", F.from_json("payload", _UPSERT_WIRE_SCHEMA))
-    decoded = (
-        p.withColumn("content", unpack_zb64(F.col("_p.content_z")))
-        .withColumn("size_bytes", debezium_int(F.col("_p.size_value"), F.col("_p.size_scale")))
-        .withColumn(lang_col_name, F.coalesce(F.col("_p.language"), F.col("_p.lang")))
-        .withColumn("commit", F.col("_p.commit"))
-        .withColumn("stars", F.col("_p.stars"))
-        .withColumn(
-            "_malformed",
-            F.col("_p").isNull() | F.col("content").isNull(),
-        )
+    p = F.from_json("payload", _UPSERT_WIRE_SCHEMA)
+    # two nested selects (still ONE driver analysis each, no withColumn
+    # chain): the inner one evaluates the decode UDF exactly once; the
+    # outer derives _malformed from the materialized column. Because the
+    # UDF is marked nondeterministic, CollapseProject will NOT inline it
+    # back into two evaluations.
+    decoded = events.select(
+        "repo",
+        "path",
+        "lsn",
+        "op",
+        p.getField("commit").alias("commit"),
+        F.coalesce(p.getField("language"), p.getField("lang")).alias(lang_col_name),
+        unpack_zb64(p.getField("content_z")).alias("content"),
+        debezium_int(p.getField("size_value"), p.getField("size_scale")).alias(
+            "size_bytes"
+        ),
+        p.getField("stars").alias("stars"),
+        p.isNull().alias("_bad_json"),
     )
     return decoded.select(
-        "repo", "path", "lsn", "op", "commit", lang_col_name,
-        "content", "size_bytes", "stars", "_malformed",
+        "repo", "path", "lsn", "op", "commit", lang_col_name, "content",
+        "size_bytes", "stars",
+        (F.col("_bad_json") | F.col("content").isNull()).alias("_malformed"),
     )
 
 

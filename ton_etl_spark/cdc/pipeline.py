@@ -245,22 +245,45 @@ def apply_batch(
     #    is totally ordered), so every data event in this batch
     #    parses against the post-DDL schema.
     t = time.time()
-    # the bucket id of each rename's old key rides along in this
-    # collect, so the rename lookup needs no extra bucket-probe job
-    ctl = (
-        events.filter(
-            F.col("event_type").isin("schema_change", "file_rename")
-        )
-        .withColumn("_bucket", table.bucket_expr(m))
-        .withColumn(
-            "_bucket_new",
-            F.pmod(
-                F.hash(F.col("repo"), F.get_json_object("payload", "$.new_path")),
-                F.lit(m["bucket_count"]),
-            ).cast("int"),
-        )
-        .collect()
-    )
+    # ONE aggregation job yields the whole control plane AND the batch
+    # stats: DDL + rename rows (with the bucket ids of old and new keys
+    # riding along), plus affected buckets / LSN range / row bound from
+    # the data events. Per-batch driver-side job latency is the serial
+    # floor of the pipeline — every saved job counts.
+    is_ctl = F.col("event_type").isin("schema_change", "file_rename")
+    is_data = F.col("event_type") != "schema_change"
+    bucket = table.bucket_expr(m)
+    bucket_new = F.pmod(
+        F.hash(F.col("repo"), F.get_json_object("payload", "$.new_path")),
+        F.lit(m["bucket_count"]),
+    ).cast("int")
+    row0 = events.agg(
+        F.count(F.when(is_data, 1)).alias("n"),
+        F.min(F.when(is_data, F.col("lsn"))).alias("lsn_min"),
+        F.max(F.when(is_data, F.col("lsn"))).alias("lsn_max"),
+        F.collect_set(F.when(is_data, bucket)).alias("buckets"),
+        F.collect_list(
+            F.when(
+                is_ctl,
+                F.struct(
+                    F.col("lsn").alias("lsn"),
+                    F.col("event_type").alias("event_type"),
+                    F.col("repo").alias("repo"),
+                    F.col("path").alias("path"),
+                    # full payload only for the few DDL rows; renames ship
+                    # just the extracted new_path (collect goes through the
+                    # single driver thread — bytes matter)
+                    F.when(
+                        F.col("event_type") == "schema_change", F.col("payload")
+                    ).alias("payload"),
+                    F.get_json_object("payload", "$.new_path").alias("new_path"),
+                    bucket.alias("_bucket"),
+                    bucket_new.alias("_bucket_new"),
+                ),
+            )
+        ).alias("ctl"),
+    ).collect()[0]
+    ctl = row0["ctl"]
     ddl = [
         {**json.loads(r["payload"]), "lsn": r["lsn"]}
         for r in ctl
@@ -274,29 +297,13 @@ def apply_batch(
     reg = registry or default_registry(lang_col)
     data_cols = [c for c in cols if c not in ("repo", "path", "lsn")]
 
-    # batch stats from a cheap column-pruned scan of the RAW events
-    #    (lsn + keys only — the payload column is never read): affected
-    #    buckets, LSN range, row bound. This lets the merge run without
-    #    materializing the decoded batch.
-    cheap = (
-        events.filter(F.col("event_type") != "schema_change")
-        .select("lsn", table.bucket_expr(m).alias("_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("lsn_min"),
-            F.max("lsn").alias("lsn_max"),
-            F.collect_set("_b").alias("buckets"),
-        )
-        .collect()[0]
-    )
     precomputed = {
-        "n_upper": cheap["n"],
-        "lsn_min": cheap["lsn_min"],
-        "lsn_max": cheap["lsn_max"],
-        "buckets": list(cheap["buckets"])
+        "n_upper": row0["n"],
+        "lsn_min": row0["lsn_min"],
+        "lsn_max": row0["lsn_max"],
+        "buckets": list(row0["buckets"])
         + [r["_bucket_new"] for r in ctl if r["event_type"] == "file_rename"],
     }
-    t = mark("stats_scan_ms", t)
 
     # 2. vectorized per-event-type parse. NOT cached: the merge decodes
     #    the batch exactly once inside its write pipeline; the rename
@@ -309,9 +316,7 @@ def apply_batch(
             "repo": r["repo"],
             "path": r["path"],
             "lsn": r["lsn"],
-            "new_path": json.loads(r["payload"]).get("new_path")
-            if r["payload"]
-            else None,
+            "new_path": r["new_path"],
         }
         for r in ctl
         if r["event_type"] == "file_rename"
@@ -426,7 +431,14 @@ class CdcPipeline:
             # checkpoint recorded the batch — the exactly-once razor's edge
             raise RuntimeError("injected crash after sink commit")
 
-    def run_streaming(self, available_now: bool = True) -> None:
+    def run_streaming(
+        self, available_now: bool = True, metrics_path: str | None = None
+    ) -> None:
+        listener = None
+        if metrics_path is not None:
+            from ..streaming.metrics import attach_metrics_listener
+
+            listener = attach_metrics_listener(self.spark, metrics_path)
         stream = (
             self.spark.readStream.schema(CHANGE_EVENT_SCHEMA)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
@@ -436,7 +448,11 @@ class CdcPipeline:
             "checkpointLocation", self.checkpoint_dir
         )
         q = writer.trigger(availableNow=True).start() if available_now else writer.start()
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        finally:
+            if listener is not None:
+                self.spark.streams.removeListener(listener)
 
     def run_batch(self) -> dict:
         events = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.event_dir)

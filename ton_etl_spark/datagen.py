@@ -137,6 +137,9 @@ class Event:
 
 
 def generate_events(p: GenParams) -> list[Event]:
+    """Emits ~p.n_events events (exactly, up to DDL rows and the final
+    duplicate): iterations that cannot emit (retired-key collisions)
+    don't count against the budget."""
     rng = np.random.default_rng(p.seed)
     repos = [f"org{i % 7}/repo{i}" for i in range(p.n_repos)]
     # zipf-ish repo popularity
@@ -160,14 +163,24 @@ def generate_events(p: GenParams) -> list[Event]:
     lsn = 0
     rename_seq = 0
 
-    repo_choices = rng.choice(p.n_repos, size=p.n_events, p=probs)
-    path_choices = rng.integers(0, p.paths_per_repo, size=p.n_events)
-    u = rng.random(size=(p.n_events, 5))
+    chunk = 1 << 16
+    repo_choices = rng.choice(p.n_repos, size=chunk, p=probs)
+    path_choices = rng.integers(0, p.paths_per_repo, size=chunk)
+    u = rng.random(size=(chunk, 5))
+    i = -1
+    emitted = 0
+    max_iter = p.n_events * 4
 
-    for i in range(p.n_events):
+    while emitted < p.n_events and i < max_iter:
+        i += 1
+        ci = i % chunk
+        if i > 0 and ci == 0:
+            repo_choices = rng.choice(p.n_repos, size=chunk, p=probs)
+            path_choices = rng.integers(0, p.paths_per_repo, size=chunk)
+            u = rng.random(size=(chunk, 5))
         lsn += LSN_STEP
-        if i in ddl_positions:
-            ddl = ddl_positions[i]
+        if emitted in ddl_positions:
+            ddl = ddl_positions.pop(emitted)
             if ddl["action"] == "add":
                 post_add = True
             elif ddl["action"] == "widen":
@@ -181,26 +194,26 @@ def generate_events(p: GenParams) -> list[Event]:
             )
             continue
 
-        if u[i, 0] < p.hot_share:
-            key = hot_keys[int(u[i, 1] * p.n_hot_keys) % p.n_hot_keys]
-        elif moved_pool and u[i, 0] > 1 - 0.02:
+        if u[ci, 0] < p.hot_share:
+            key = hot_keys[int(u[ci, 1] * p.n_hot_keys) % p.n_hot_keys]
+        elif moved_pool and u[ci, 0] > 1 - 0.02:
             # revisit a renamed-to key (enables rename chains)
-            key = moved_pool[int(u[i, 1] * len(moved_pool)) % len(moved_pool)]
+            key = moved_pool[int(u[ci, 1] * len(moved_pool)) % len(moved_pool)]
         else:
-            key = (repos[repo_choices[i]], f"src/m{path_choices[i]}.py")
+            key = (repos[repo_choices[ci]], f"src/m{path_choices[ci]}.py")
         if key in retired:
-            key = (key[0], f"src/m{path_choices[i]}_b.py")
+            key = (key[0], f"src/m{path_choices[ci]}_b.py")
             if key in retired:
                 continue
         repo, path = key
-        r = u[i, 2]
+        r = u[ci, 2]
         # hot keys never rename (they must stay hot for the skew tests)
         can_rename = key not in hot_set
 
         if key in live and live[key] and r < p.p_delete:
             events.append(
                 Event(lsn, "d", "file_delete", repo, path, None,
-                      arrival=lsn + u[i, 3] * ARRIVAL_JITTER, ts_ms=lsn)
+                      arrival=lsn + u[ci, 3] * ARRIVAL_JITTER, ts_ms=lsn)
             )
             live[key] = False
         elif key in live and live[key] and can_rename and r < p.p_delete + p.p_rename:
@@ -217,8 +230,8 @@ def generate_events(p: GenParams) -> list[Event]:
             live[(repo, new_path)] = True
             moved_pool.append((repo, new_path))
         else:
-            op = "u" if key in live else ("r" if u[i, 3] < 0.1 else "c")
-            if u[i, 4] < p.p_malformed:
+            op = "u" if key in live else ("r" if u[ci, 3] < 0.1 else "c")
+            if u[ci, 4] < p.p_malformed:
                 payload = '{"commit": "CORRUPT'  # truncated JSON
             else:
                 payload = encode_payload(
@@ -226,17 +239,19 @@ def generate_events(p: GenParams) -> list[Event]:
                 )
             events.append(
                 Event(lsn, op, "file_upsert", repo, path, payload,
-                      arrival=lsn + u[i, 3] * ARRIVAL_JITTER, ts_ms=lsn)
+                      arrival=lsn + u[ci, 3] * ARRIVAL_JITTER, ts_ms=lsn)
             )
             live[key] = True
 
+        emitted += 1
         # at-least-once duplicate delivery of the event just emitted
-        if events and u[i, 1] < p.p_duplicate and events[-1].event_type != "schema_change":
+        if events and u[ci, 1] < p.p_duplicate and events[-1].event_type != "schema_change":
             e = events[-1]
             events.append(
                 Event(e.lsn, e.op, e.event_type, e.repo, e.path, e.payload,
-                      arrival=e.arrival + u[i, 4] * ARRIVAL_JITTER, ts_ms=e.ts_ms)
+                      arrival=e.arrival + u[ci, 4] * ARRIVAL_JITTER, ts_ms=e.ts_ms)
             )
+            emitted += 1
 
     # arrival order: jittered, but DDL events are global barriers —
     # clamp every arrival into its inter-DDL segment

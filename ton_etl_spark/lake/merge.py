@@ -123,24 +123,38 @@ def merge_into(
     data_cols = [c for c in all_cols if c not in keys and c != vf]
 
     # align update columns to current schema (schema evolution may have
-    # added columns mid-stream; older events simply carry nulls)
+    # added columns mid-stream; older events simply carry nulls). ONE
+    # select, not a withColumn chain: every PySpark DataFrame op re-runs
+    # analysis over the whole tree on the single driver thread — chained
+    # withColumns were a measurable serial per-batch cost.
     schema = table.schema(include_system=True)
-    aligned = updates
-    for f in schema.fields:
-        if f.name not in aligned.columns:
-            aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
-        else:
-            aligned = aligned.withColumn(f.name, F.col(f.name).cast(f.dataType))
-    aligned = aligned.withColumn("_deleted", F.col("op") == "d")
-    if "_op_rank" not in aligned.columns:
-        aligned = aligned.withColumn(
-            "_op_rank",
-            F.when(F.col("op") == "d", F.lit(3))
-            .when(F.col("op") == "u", F.lit(2))
-            .when(F.col("op") == "c", F.lit(1))
-            .otherwise(F.lit(0)),
-        )
-    aligned = aligned.select(*keys, vf, "op", "_op_rank", *data_cols)
+    present = set(updates.columns)
+
+    def aligned_col(f):
+        base = F.col(f.name) if f.name in present else F.lit(None)
+        return base.cast(f.dataType).alias(f.name)
+
+    op_rank = (
+        F.col("_op_rank")
+        if "_op_rank" in present
+        else F.when(F.col("op") == "d", F.lit(3))
+        .when(F.col("op") == "u", F.lit(2))
+        .when(F.col("op") == "c", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    by_name = {f.name: f for f in schema.fields}
+    aligned = updates.select(
+        *[aligned_col(by_name[k]) for k in keys],
+        aligned_col(by_name[vf]),
+        F.col("op").alias("op"),
+        op_rank.alias("_op_rank"),
+        *[
+            (F.col("op") == "d").alias(c)
+            if c == "_deleted"
+            else aligned_col(by_name[c])
+            for c in data_cols
+        ],
+    )
 
     # partial (salted) dedup only: the merge aggregation below finishes
     # it, so the fat content rows cross one less shuffle. The broadcast
