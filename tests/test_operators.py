@@ -1,0 +1,188 @@
+"""Unit tests for gold/corpus operators against hand-computable fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ton_etl_spark.operators import (
+    asof_join,
+    chain_signature,
+    exclude_rows,
+    latest_state,
+    time_decayed_avg,
+)
+from ton_etl_spark.operators.trace_match import chain_signature_pandas
+from ton_etl_spark.operators import dedup as DD
+from ton_etl_spark.operators import similarity as SIM
+from ton_etl_spark.operators import multimodal as MM
+
+
+def test_latest_state_ties_break_deterministically(spark):
+    df = spark.createDataFrame(
+        [("k", 10, 1, "a"), ("k", 10, 2, "b"), ("k", 9, 3, "c")],
+        "key string, ts long, seq long, v string",
+    )
+    out = latest_state(df, ["key"], ["ts", "seq"]).collect()
+    assert len(out) == 1 and out[0]["v"] == "b"  # (10,2) > (10,1) > (9,3)
+
+
+def test_asof_strict_vs_inclusive(spark):
+    left = spark.createDataFrame([("k", 100)], "key string, t long")
+    right = spark.createDataFrame(
+        [("k", 90, 1.0), ("k", 100, 2.0), ("k", 110, 3.0)],
+        "key string, t long, price double",
+    )
+    strict = asof_join(left, right, ["key"], "t", "t", ["price"], strict=True)
+    incl = asof_join(left, right, ["key"], "t", "t", ["price"], strict=False)
+    assert strict.collect()[0]["asof_price"] == 1.0   # t<100 -> 90
+    assert incl.collect()[0]["asof_price"] == 2.0     # t<=100 -> 100
+
+
+def test_asof_no_prior_value_is_null(spark):
+    left = spark.createDataFrame([("k", 50)], "key string, t long")
+    right = spark.createDataFrame([("k", 90, 1.0)], "key string, t long, price double")
+    out = asof_join(left, right, ["key"], "t", "t", ["price"]).collect()
+    assert out[0]["asof_price"] is None
+
+
+def test_time_decayed_avg_matches_manual(spark):
+    # one key, one window [0, 1800): weights 2^(-(1800-ts)/1800)
+    rows = [("a", 0, 10.0), ("a", 900, 20.0), ("a", 1799, 30.0)]
+    df = spark.createDataFrame(rows, "k string, es long, v double")
+    out = time_decayed_avg(df, ["k"], "es", "v").collect()
+    assert len(out) == 1
+    ws = [2 ** (-(1800 - ts) / 1800) for _, ts, _ in rows]
+    expected = sum(w * v for w, (_, _, v) in zip(ws, rows)) / sum(ws)
+    assert math.isclose(out[0]["decayed_avg"], expected, rel_tol=1e-12)
+    assert out[0]["n_obs"] == 3
+
+
+def test_chain_signature_both_impls_agree(spark):
+    df = spark.createDataFrame(
+        [(1, i, f"e{i % 3}") for i in range(7)] + [(2, 0, "x")],
+        "g long, ts long, label string",
+    )
+    a = {r["g"]: r["chain"] for r in chain_signature(df, "g", ["ts"], "label", 4).collect()}
+    b = {r["g"]: r["chain"] for r in chain_signature_pandas(df, "g", ["ts"], "label", 4).collect()}
+    assert a == b
+    assert a[1] == "e0,e1,e2,e0"  # last 4 of e0..e6 labels
+    assert a[2] == "x"            # shorter than k
+
+
+def test_exclude_rows(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    excl = spark.createDataFrame([(2,)], "id long")
+    assert {r["id"] for r in exclude_rows(df, excl, ["id"]).collect()} == {1, 3}
+
+
+# -- dedup family -----------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "completely different content entirely unrelated words"),
+    (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    out = DD.exact_duplicates(docs_df(spark), "doc_id", "text")
+    groups = {tuple(r["doc_ids"]): r["n_docs"] for r in out.collect()}
+    assert groups[(1, 4)] == 2
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.lsh_candidate_pairs(
+            docs_df(spark), "doc_id", "text", n_perm=16, bands=8, k=2
+        ).collect()
+    }
+    assert (1, 4) in pairs          # exact dups always collide
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dups collide w.h.p.
+    assert (1, 3) not in pairs and (2, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_jaccard_exact_values(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.jaccard_pairs(docs_df(spark), "doc_id", "text", k=1).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    assert out[(1, 2)] == round(8 / 10, 6)  # 8 shared words of 10 distinct
+    assert out[(1, 3)] < 0.1
+
+
+def test_simhash_near_dups(spark):
+    out = DD.simhash_near_dups(
+        docs_df(spark), "doc_id", "text", max_hamming=16, prefix_bits=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs.get((1, 4)) == 0   # identical docs -> identical simhash
+
+
+# -- similarity -------------------------------------------------------------
+
+def test_cosine_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1]), (12, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    out = SIM.cosine_topk(vecs, q, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [10, 11]
+    assert out[0]["score"] == 1.0
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    data = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(200)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") < 3)
+    corpus = df.filter(F.col("vec_id") >= 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(corpus, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ann_lsh_topk(corpus, qs, dim=16, k=5, n_planes=4,
+                                  multiprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4  # loose: 4 planes on random data; scale path tested
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+def test_media_features_shapes_and_strict_stub(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i} " * 10) for i in range(9)], "doc_id long, text string"
+    )
+    media = MM.synthesize_media(docs)
+    feats = MM.extract_features(media, feature_dim=4).collect()
+    assert len(feats) == 9
+    assert all(len(r["feature"]) == 4 and r["is_fake_decode"] for r in feats)
+    assert all(r["n_bytes"] > 0 for r in feats)
+    with pytest.raises(Exception):
+        MM.extract_features(media, strict=True).collect()
+
+
+def test_frame_sampling_counts(spark):
+    docs = spark.createDataFrame([(3, "v" * 50)], "doc_id long, text string")
+    media = MM.synthesize_media(docs)  # doc 3 -> kind video? (3 % 3 == 0 -> image)
+    vids = media.filter(F.col("kind") == "video")
+    if vids.count() == 0:
+        docs = spark.createDataFrame([(5, "v" * 50)], "doc_id long, text string")
+        media = MM.synthesize_media(docs)
+    frames = MM.sample_frames(media, every_ms=10_000).collect()
+    vid = media.filter(F.col("kind") == "video").collect()[0]
+    expected = len(range(0, max(vid["duration_ms"] - 1, 0) + 1, 10_000))
+    assert len(frames) == expected

@@ -25,7 +25,7 @@ from ..lake.merge import merge_into
 from ..lake.table import LakeTable
 from ..schemas import CHANGE_EVENT_SCHEMA
 from .dispatch import ParserRegistry, default_registry
-from .skew import KEY_SEP, HotKeyMonitor
+from .skew import HotKeyMonitor
 
 
 def _apply_ddl(table: LakeTable, ddl_rows: list) -> list[str]:

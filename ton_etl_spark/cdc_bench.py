@@ -54,6 +54,13 @@ def main() -> None:
         extra_conf={
             "spark.sql.codegen.wholeStage": "false",
             "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+            # AQE OFF for the CDC job: foreachBatch bodies are batch
+            # queries and do use AQE — and AdaptiveSparkPlanExec's
+            # final-plan update was observed to deadlock (stream thread
+            # parked in withFinalPlanUpdate for 100s of seconds, worse
+            # at higher core counts). The merge sizes its own partitions
+            # and handles skew explicitly, so AQE adds nothing here.
+            "spark.sql.adaptive.enabled": "false",
             "spark.speculation": "true",
             "spark.speculation.multiplier": "3",
             "spark.speculation.quantile": "0.9",
