@@ -114,7 +114,8 @@ def test_jaccard_exact_values(spark):
         for r in DD.jaccard_pairs(docs_df(spark), "doc_id", "text", k=1).collect()
     }
     assert out[(1, 4)] == 1.0
-    assert out[(1, 2)] == round(8 / 10, 6)  # 8 shared words of 10 distinct
+    # 7 shared distinct words, 9 in the union ({dog} vs {cat} differ)
+    assert out[(1, 2)] == round(7 / 9, 6)
     assert out[(1, 3)] < 0.1
 
 
