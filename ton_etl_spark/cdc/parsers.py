@@ -103,6 +103,7 @@ def parse_file_upserts(events: DataFrame, lang_col_name: str = "lang") -> DataFr
         "repo",
         "path",
         "lsn",
+        "ts_ms",
         "op",
         p.getField("commit").alias("commit"),
         F.coalesce(p.getField("language"), p.getField("lang")).alias(lang_col_name),
@@ -114,7 +115,7 @@ def parse_file_upserts(events: DataFrame, lang_col_name: str = "lang") -> DataFr
         p.isNull().alias("_bad_json"),
     )
     return decoded.select(
-        "repo", "path", "lsn", "op", "commit", lang_col_name, "content",
+        "repo", "path", "lsn", "ts_ms", "op", "commit", lang_col_name, "content",
         "size_bytes", "stars",
         (F.col("_bad_json") | F.col("content").isNull()).alias("_malformed"),
     )

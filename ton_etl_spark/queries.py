@@ -251,6 +251,102 @@ FROM events WHERE user_id < 10
 """
 
 
+def q_parent_event(spark, sf):
+    # J1 analogue: stitch each event to its parent (previous event of the
+    # same user) — the message -> parent-message self-join, expressed as
+    # a window lag (one shuffle, no join)
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("parent_event_id"),
+        F.lag("event_type").over(w).alias("parent_type"),
+    )
+
+
+O_PARENT_EVENT = """
+SELECT user_id, event_id,
+       lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS parent_event_id,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS parent_type
+FROM events WHERE user_id < 20
+"""
+
+
+def q_explode_props(spark, sf):
+    # P2 analogue: 1 -> N flatMap (one swap -> several Trade rows,
+    # dex_trades.py:70-180) — split each document into numbered lines
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    words = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.posexplode(words).alias("word_idx", "word"),
+    ).filter(F.col("word_idx") < 5)
+
+
+O_EXPLODE_PROPS = """
+SELECT doc_id, CAST(u.idx - 1 AS INT) AS word_idx, u.word
+FROM documents,
+     LATERAL (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word,
+                     generate_subscripts(regexp_split_to_array(text, '\\s+'), 1)
+                       AS idx) u
+WHERE doc_id < 40 AND u.idx <= 5
+"""
+
+
+def q_debezium_roundtrip(spark, sf):
+    # P3: Debezium variable-scale decimal decode — encode event_id*100 at
+    # scale 2 JVM-side (two's-complement bytes + base64), decode with the
+    # vectorized UDF; the oracle is simply the original value
+    from .functions import debezium_int
+
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 3000)
+    unscaled = (F.col("event_id") * 100).cast("long")
+    b64 = F.base64(unscaled.cast("binary"))
+    return ev.select(
+        "event_id",
+        debezium_int(b64, F.lit(2)).alias("decoded"),
+    )
+
+
+O_DEBEZIUM_ROUNDTRIP = """
+SELECT event_id, event_id AS decoded FROM events WHERE event_id < 3000
+"""
+
+
+def q_volume_rules(spark, sf):
+    # A7 analogue: row-wise conditional valuation (estimate_tvl's rule
+    # table, swap_volume.py:125-197): per-event USD volume under rules,
+    # then a per-user rollup
+    ev = _t(spark, sf, "events")
+    vol = (
+        F.when(F.col("event_type") == "purchase", F.col("value") * 2.0)
+        .when(F.col("event_type") == "view", F.col("value") * 0.1)
+        .when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum(vol), 4).alias("volume"),
+        F.count(vol).alias("n_valued"),
+    )
+
+
+O_VOLUME_RULES = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value * 2.0
+                      WHEN event_type = 'view' THEN value * 0.1
+                      WHEN event_type = 'error' THEN NULL
+                      ELSE value END), 4) AS volume,
+       count(CASE WHEN event_type = 'purchase' THEN value * 2.0
+                  WHEN event_type = 'view' THEN value * 0.1
+                  WHEN event_type = 'error' THEN NULL
+                  ELSE value END) AS n_valued
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational / TPC-H-ish coverage
 # ---------------------------------------------------------------------------
@@ -596,6 +692,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exclusion_antijoin": q_exclusion_antijoin,
     "union_convert": q_union_convert,
     "running_window": q_running_window,
+    "parent_event": q_parent_event,
+    "explode_props": q_explode_props,
+    "debezium_roundtrip": q_debezium_roundtrip,
+    "volume_rules": q_volume_rules,
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
     "topk_orders": q_topk_orders,
@@ -626,6 +726,10 @@ ORACLES: dict[str, str] = {
     "exclusion_antijoin": O_EXCLUSION_ANTIJOIN,
     "union_convert": O_UNION_CONVERT,
     "running_window": O_RUNNING_WINDOW,
+    "parent_event": O_PARENT_EVENT,
+    "explode_props": O_EXPLODE_PROPS,
+    "debezium_roundtrip": O_DEBEZIUM_ROUNDTRIP,
+    "volume_rules": O_VOLUME_RULES,
     "pricing_summary": O_PRICING_SUMMARY,
     "region_revenue": O_REGION_REVENUE,
     "topk_orders": O_TOPK_ORDERS,
