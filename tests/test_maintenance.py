@@ -1,0 +1,62 @@
+"""Lake maintenance: corrections delete, tombstone GC, compaction."""
+
+from pyspark.sql import functions as F
+
+from ton_etl_spark.lake.merge import merge_into
+from ton_etl_spark.lake.table import LakeTable
+from ton_etl_spark.schemas import REPOS_KEY_FIELDS, REPOS_SCHEMA
+
+from test_merge_unit import mk_table, upd, live
+
+
+def test_delete_keys_corrections(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    merge_into(t, upd(spark, [
+        {"repo": "r1", "path": "a", "lsn": 1, "op": "c", "content": "x"},
+        {"repo": "r1", "path": "b", "lsn": 2, "op": "c", "content": "y"},
+        {"repo": "r2", "path": "c", "lsn": 3, "op": "c", "content": "z"},
+    ]))
+    excl = spark.createDataFrame([("r1", "b")], "repo string, path string")
+    res = t.delete_keys(excl)
+    assert not res.get("skipped")
+    assert set(live(t)) == {("r1", "a"), ("r2", "c")}
+    assert t.history()[-1]["lineage"]["type"] == "corrections"
+    # rows are gone even with tombstones visible (hard delete)
+    assert t.read(include_deleted=True).filter(
+        (F.col("repo") == "r1") & (F.col("path") == "b")
+    ).count() == 0
+
+
+def test_purge_tombstones_watermark(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    merge_into(t, upd(spark, [{"lsn": 1, "op": "c", "content": "x"}]))
+    merge_into(t, upd(spark, [{"lsn": 10, "op": "d"}]))
+    assert t.read(include_deleted=True).count() == 1
+    # watermark below the tombstone: kept
+    t.purge_tombstones(older_than_lsn=5)
+    assert t.read(include_deleted=True).count() == 1
+    # watermark above: purged
+    t.purge_tombstones(older_than_lsn=11)
+    assert t.read(include_deleted=True).count() == 0
+    assert live(t) == {}
+
+
+def test_compact_merges_fragmented_buckets(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "c"), REPOS_SCHEMA, REPOS_KEY_FIELDS, "lsn",
+        bucket_count=2,
+    )
+    # several merges -> buckets accumulate one file per commit? (CoW
+    # replaces files, so fragment artificially via multi-task writes)
+    rows = [
+        {"repo": f"r{i}", "path": f"p{i}", "lsn": i + 1, "op": "c",
+         "content": f"c{i}"}
+        for i in range(40)
+    ]
+    merge_into(t, upd(spark, rows))
+    m = t.manifest()
+    state_before = live(t)
+    res = t.compact(max_files=1)
+    assert live(t) == state_before
+    m2 = t.manifest()
+    assert all(len(fl) <= 1 for fl in m2["buckets"].values())

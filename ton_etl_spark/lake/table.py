@@ -297,6 +297,94 @@ class LakeTable:
 
     # -- maintenance -----------------------------------------------------------
 
+    def _rewrite_buckets(
+        self, buckets: list[int], transform, note: str
+    ) -> dict:
+        """Copy-on-write rewrite of selected buckets through `transform`
+        (DataFrame -> DataFrame), committed with lineage `note`."""
+        m = self.manifest()
+        if not buckets:
+            return {"skipped": True, "version": m["version"]}
+        df = transform(self.read(buckets=buckets, include_deleted=True))
+        new_version = m["version"] + 1
+        file_map = self.write_buckets(
+            df.withColumn("_bucket", self.bucket_expr(m)), "_bucket", new_version
+        )
+        new_buckets = dict(m["buckets"])
+        new_rows = dict(m.get("bucket_rows", {}))
+        import pyarrow.parquet as _pq
+
+        for b in buckets:
+            files = file_map.get(str(b), [])
+            new_buckets[str(b)] = files
+            new_rows[str(b)] = sum(
+                _pq.ParquetFile(os.path.join(self.root, p)).metadata.num_rows
+                for p in files
+            )
+        self.commit(
+            dict(
+                m,
+                version=new_version,
+                parent=m["version"],
+                buckets=new_buckets,
+                bucket_rows=new_rows,
+                lineage={"type": note, "buckets": sorted(buckets)},
+            )
+        )
+        return {"version": new_version, "buckets": sorted(buckets)}
+
+    def delete_keys(self, keys_df, note: str = "corrections") -> dict:
+        """Out-of-band corrections: hard-remove the given keys (the
+        reference's `excluded_rows` mechanism, datalake/README.md:370-401
+        / athena_ddl.sql:386-400 — rows listed there must be absent after
+        a correction replay). Anti-join rewrite of affected buckets."""
+        from pyspark.sql import functions as F
+
+        kdf = keys_df.select(*self.key_fields()).distinct().persist()
+        buckets = [
+            r["_b"]
+            for r in kdf.withColumn("_b", self.bucket_expr())
+            .select("_b").distinct().collect()
+        ]
+        keys_b = F.broadcast(kdf)
+
+        def drop(df):
+            return df.join(keys_b, on=self.key_fields(), how="left_anti")
+
+        out = self._rewrite_buckets(buckets, drop, note)
+        kdf.unpersist()
+        return out
+
+    def purge_tombstones(self, older_than_lsn: int) -> dict:
+        """GC delete markers whose LSN is safely below the replay
+        watermark. A purged key could be resurrected by an even older
+        late event — choose the watermark accordingly (this is the
+        standard tombstone-retention tradeoff)."""
+        from pyspark.sql import functions as F
+
+        m = self.manifest()
+        vf = m["version_field"]
+        buckets = [int(b) for b, fl in m["buckets"].items() if fl]
+
+        def drop(df):
+            return df.filter(
+                ~(
+                    F.coalesce(F.col("_deleted"), F.lit(False))
+                    & (F.col(vf) < older_than_lsn)
+                )
+            )
+
+        return self._rewrite_buckets(buckets, drop, "purge_tombstones")
+
+    def compact(self, max_files: int = 1) -> dict:
+        """Rewrite buckets fragmented into more than `max_files` files
+        (the reference's snapshot/repartition compaction jobs)."""
+        m = self.manifest()
+        buckets = [
+            int(b) for b, fl in m["buckets"].items() if len(fl) > max_files
+        ]
+        return self._rewrite_buckets(buckets, lambda df: df, "compact")
+
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data files not referenced by the last `keep_last` versions."""
         cur = self.current_version()
