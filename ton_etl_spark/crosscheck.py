@@ -97,7 +97,11 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or None
-    spark = get_spark("crosscheck")
+    # ANSI ON to match the driver's harness session — a query that is
+    # only legal in classic mode must fail HERE, not in CORRECTNESS_r{N}
+    spark = get_spark(
+        "crosscheck", extra_conf={"spark.sql.ansi.enabled": "true"}
+    )
     results = run_crosscheck(spark, sf_dir, names)
     bad = 0
     for name, e in sorted(results.items()):

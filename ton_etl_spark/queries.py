@@ -303,8 +303,12 @@ def q_debezium_roundtrip(spark, sf):
     from .functions import debezium_int
 
     ev = _t(spark, sf, "events").filter(F.col("event_id") < 3000)
+    # ANSI-safe big-endian two's-complement encode: values are
+    # non-negative and < 2^63, so 8 zero-padded hex bytes == the
+    # bigint's two's-complement encoding (a bigint->binary cast is
+    # illegal under ANSI mode, which the driver harness runs with)
     unscaled = (F.col("event_id") * 100).cast("long")
-    b64 = F.base64(unscaled.cast("binary"))
+    b64 = F.base64(F.unhex(F.lpad(F.hex(unscaled), 16, "0")))
     return ev.select(
         "event_id",
         debezium_int(b64, F.lit(2)).alias("decoded"),
@@ -603,9 +607,20 @@ QUALIFY rank <= 5
 """
 
 
+def _embedding_dim(sf: str) -> int:
+    """Vector dimensionality from ONE parquet page (pyarrow, driver-side
+    metadata I/O independent of table size — replaces a Spark `.first()`
+    job; the arrow type is a plain list so the footer alone lacks dim)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(os.path.join(sf, "embeddings.parquet"))
+    batch = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column("embedding")[0])
+
+
 def q_ann_lsh_topk(spark, sf):  # no SQL oracle: LSH bucketing
     emb = _t(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _embedding_dim(sf)
     queries = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
     return SIM.ann_lsh_topk(corpus, queries, dim, k=5, n_planes=6, multiprobe=2)
