@@ -1,5 +1,7 @@
-"""Lake maintenance: corrections delete, tombstone GC, compaction."""
+"""Lake maintenance: corrections delete, tombstone GC, compaction,
+vacuum horizon, rename-collision guard."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ton_etl_spark.lake.merge import merge_into
@@ -39,6 +41,31 @@ def test_purge_tombstones_watermark(spark, tmp_path):
     t.purge_tombstones(older_than_lsn=11)
     assert t.read(include_deleted=True).count() == 0
     assert live(t) == {}
+
+
+def test_vacuum_bounds_time_travel_with_clear_error(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    merge_into(t, upd(spark, [{"lsn": 1, "op": "c", "content": "v1"}]))
+    merge_into(t, upd(spark, [{"lsn": 2, "op": "u", "content": "v2"}]))
+    merge_into(t, upd(spark, [{"lsn": 3, "op": "u", "content": "v3"}]))
+    assert t.read(version=1).count() == 1  # time travel works pre-vacuum
+    t.vacuum(keep_last=1)
+    assert live(t)[("r1", "p1")] == (3, "v3")  # current unaffected
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        t.read(version=1)
+    assert len(t.history()) >= 3  # lineage metadata survives vacuum
+
+
+def test_rename_onto_existing_column_is_noop(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    merge_into(t, upd(spark, [{"lsn": 1, "op": "c", "content": "x"}]))
+    t.add_column("language", "string")
+    v = t.current_version()
+    t.rename_column("lang", "language")  # target exists -> must not dup
+    names = [f.name for f in t.schema().fields]
+    assert names.count("language") == 1 and "lang" in names
+    assert t.current_version() == v  # no-op commit-wise
+    assert t.read().count() == 1
 
 
 def test_compact_merges_fragmented_buckets(spark, tmp_path):

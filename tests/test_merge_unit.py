@@ -112,6 +112,37 @@ def test_broadcast_and_union_agg_agree(spark, tmp_path, monkeypatch):
     assert live(t1) == live(t2)
 
 
+def test_broadcast_byte_bound_forces_union_agg(spark, tmp_path, monkeypatch):
+    """The broadcast strategy is gated on estimated key BYTES, not just
+    row count: at the boundary the same batch flips strategy and the
+    results stay identical."""
+    import ton_etl_spark.lake.merge as M
+
+    # seed a fat table so affected_rows > 4 * n_keys (broadcast-eligible)
+    base = [
+        {"repo": "r0", "path": f"seed{i}", "lsn": i + 1, "op": "c",
+         "content": f"s{i}"}
+        for i in range(200)
+    ]
+    batch = [
+        {"repo": "r0", "path": "seed5", "lsn": 900, "op": "u", "content": "n5"},
+        {"repo": "r0", "path": "seed6", "lsn": 901, "op": "u", "content": "n6"},
+    ]
+
+    t1 = mk_table(spark, tmp_path, "wide_cap")
+    merge_into(t1, upd(spark, base))
+    r1 = merge_into(t1, upd(spark, batch))
+    assert r1["strategy"] == "broadcast"
+
+    # shrink the byte cap below ~2 keys * (width + overhead)
+    monkeypatch.setattr(M, "BROADCAST_BYTES_CAP", 16)
+    t2 = mk_table(spark, tmp_path, "tiny_cap")
+    merge_into(t2, upd(spark, base))
+    r2 = merge_into(t2, upd(spark, batch))
+    assert r2["strategy"] == "union_agg"
+    assert live(t1) == live(t2)
+
+
 # -- salting parity ---------------------------------------------------------
 
 def test_salted_merge_parity(spark, tmp_path):

@@ -121,10 +121,43 @@ def test_jaccard_exact_values(spark):
 
 def test_simhash_near_dups(spark):
     out = DD.simhash_near_dups(
-        docs_df(spark), "doc_id", "text", max_hamming=16, prefix_bits=2
+        docs_df(spark), "doc_id", "text", max_hamming=16
     ).collect()
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     assert pairs.get((1, 4)) == 0   # identical docs -> identical simhash
+
+
+def test_simhash_block_lsh_full_recall(spark):
+    """The pigeonhole block bucketing must find EVERY pair within the
+    hamming radius — compare against brute-force all-pairs over the
+    exact same signatures."""
+    import itertools
+
+    docs = spark.range(0, 120).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}_"), ((F.col("id") / (j + 1)).cast("int") % 4))
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs, "doc_id", "text").collect()}
+    brute = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in itertools.combinations(sorted(sigs), 2)
+    }
+    for radius in (3, 8):
+        expect = {p for p, h in brute.items() if h <= radius}
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in DD.simhash_near_dups(
+                docs, "doc_id", "text", max_hamming=radius
+            ).collect()
+        }
+        assert got == expect, f"radius {radius}: missed {expect - got}"
+    assert len({p for p, h in brute.items() if h <= 8}) > 0  # non-trivial
 
 
 # -- similarity -------------------------------------------------------------

@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--events", type=int, default=100_000)
     g.add_argument("--files", type=int, default=8)
     g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--facts", type=float, default=0.0,
+                   help="share of trade/metadata/comment fact events")
 
     i = sub.add_parser("init")
     i.add_argument("--lake", required=True)
@@ -46,6 +48,17 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--mft", type=int, default=4)
             s.add_argument("--metrics", default=None)
             s.add_argument("--continuous", action="store_true")
+            s.add_argument("--source", default="files",
+                           choices=("files", "kafka"))
+            s.add_argument("--kafka-bootstrap", default=None)
+            s.add_argument("--kafka-topics", default=None)
+            s.add_argument("--maturity", type=int, default=None,
+                           help="event-age gate in LSN units (F5)")
+            s.add_argument("--silver", default=None,
+                           help="root dir for silver fan-out tables")
+            s.add_argument("--gold", default=None,
+                           help="dir for the gold decayed-price table "
+                                "(requires --silver)")
 
     sh = sub.add_parser("show")
     sh.add_argument("--lake", required=True)
@@ -62,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
 
         paths = generate_event_log(
             args.out,
-            GenParams(n_events=args.events, n_files=args.files, seed=args.seed),
+            GenParams(n_events=args.events, n_files=args.files,
+                      seed=args.seed, p_facts=args.facts),
         )
         print(json.dumps({"files": len(paths), "dir": args.out}))
         return 0
@@ -95,10 +109,34 @@ def main(argv: list[str] | None = None) -> int:
     from .cdc.pipeline import CdcPipeline
 
     if args.cmd in ("stream", "replay"):
+        fanout = gold = None
+        if getattr(args, "silver", None):
+            from .cdc.silver import SilverFanout
+
+            fanout = SilverFanout(spark, args.silver)
+            if getattr(args, "gold", None):
+                from .gold import GoldDecayedPrice
+
+                gold = GoldDecayedPrice(
+                    spark, args.gold, fanout.tables["trades"]
+                )
+        kafka_opts = None
+        if getattr(args, "source", "files") == "kafka":
+            from .cdc.kafka_io import kafka_source_options
+
+            kafka_opts = kafka_source_options(
+                args.kafka_bootstrap or "localhost:9092",
+                (args.kafka_topics or "").split(","),
+            )
         pipe = CdcPipeline(
             spark, table, args.events,
             getattr(args, "checkpoint", args.lake + "_cp"),
             max_files_per_trigger=getattr(args, "mft", 4),
+            source=getattr(args, "source", "files"),
+            kafka_options=kafka_opts,
+            maturity=getattr(args, "maturity", None),
+            fanout=fanout,
+            gold=gold,
         )
         if args.cmd == "stream":
             pipe.run_streaming(

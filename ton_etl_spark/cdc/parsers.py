@@ -84,6 +84,74 @@ def debezium_int(value_b64: pd.Series, scale: pd.Series) -> pd.Series:
     return pd.Series([one(v, sc) for v, sc in zip(value_b64, scale)])
 
 
+@F.pandas_udf(T.DecimalType(38, 0))
+def debezium_decimal(value_b64: pd.Series, scale: pd.Series) -> pd.Series:
+    """Debezium decimal decode preserving the FULL unbounded-amount
+    range: {scale, value: b64 two's-complement bigint} ->
+    DecimalType(38,0). The reference stores token amounts up to 2^120 as
+    `decimal(38,0)` (athena_ddl.sql:84,332-338); `debezium_int` nulls
+    anything outside int64, this kernel does not."""
+    import decimal
+
+    def one(v, sc):
+        if v is None or sc is None:
+            return None
+        try:
+            unscaled = int.from_bytes(base64.b64decode(v), "big", signed=True)
+            out = unscaled // (10 ** int(sc))
+            if abs(out) >= 10**38:  # NonCritical: outside decimal(38,0)
+                return None
+            return decimal.Decimal(out)
+        except Exception:
+            return None
+
+    return pd.Series([one(v, sc) for v, sc in zip(value_b64, scale)])
+
+
+@F.pandas_udf(T.DoubleType())
+def debezium_double(value_b64: pd.Series, scale: pd.Series) -> pd.Series:
+    """Debezium decimal -> double (for ratio-like fields where float
+    precision suffices, e.g. prices — reference utils.py:8-9 divides by
+    10**scale)."""
+
+    def one(v, sc):
+        if v is None or sc is None:
+            return None
+        try:
+            unscaled = int.from_bytes(base64.b64decode(v), "big", signed=True)
+            return float(unscaled) / (10 ** int(sc))
+        except Exception:
+            return None
+
+    return pd.Series([one(v, sc) for v, sc in zip(value_b64, scale)])
+
+
+@F.pandas_udf(T.StringType())
+def pack_zb64(s: pd.Series) -> pd.Series:
+    """Inverse of unpack_zb64 (test/fixture helper: build wire-format
+    payloads inside a plan so decode oracles are roundtrip-identities)."""
+
+    def one(v):
+        if v is None:
+            return None
+        return base64.b64encode(zlib.compress(v.encode(), 1)).decode()
+
+    return s.map(one)
+
+
+def csv_struct(col: Column, field_names: list[str]) -> Column:
+    """CSV string -> named struct (P6 — the reference builds a 6-field
+    `sources` record by splitting a comma-joined string,
+    datalake/converters/jetton_metadata.py:26-35). Pure column
+    expression: split + element_at + struct, zero Python."""
+    parts = F.split(col, ",")
+    # F.get (not element_at): null on missing trailing fields instead of
+    # an ANSI out-of-bounds error — the NonCritical contract
+    return F.struct(
+        *[F.get(parts, i).alias(name) for i, name in enumerate(field_names)]
+    )
+
+
 def sha256_col(c: Column) -> Column:
     """Row invariant: sha2 over content (datalake/main.py:145-148 uses
     sha256 for content-addressed files; our per-row parity hash)."""

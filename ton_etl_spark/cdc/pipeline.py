@@ -25,6 +25,7 @@ from ..lake.merge import merge_into
 from ..lake.table import LakeTable
 from ..schemas import CHANGE_EVENT_SCHEMA
 from .dispatch import ParserRegistry, default_registry
+from .parsers import _UPSERT_WIRE_SCHEMA as _UPSERT_WIRE
 from .skew import HotKeyMonitor
 
 
@@ -221,6 +222,11 @@ def _resolve_renames(
     return synth_df, driver_rows, len(chained)
 
 
+# event types that target the main repos table (everything else is
+# fact fan-out handled by SilverFanout, or DDL)
+REPO_EVENT_TYPES = ("file_upsert", "file_delete", "file_rename")
+
+
 def apply_batch(
     spark: SparkSession,
     table: LakeTable,
@@ -229,6 +235,8 @@ def apply_batch(
     registry: ParserRegistry | None = None,
     monitor: HotKeyMonitor | None = None,
     collect_stats: bool = True,
+    fanout=None,   # cdc.silver.SilverFanout
+    gold=None,     # gold.GoldDecayedPrice
 ) -> dict:
     t0 = time.time()
     timings: dict[str, int] = {}
@@ -239,7 +247,13 @@ def apply_batch(
 
     m = table.manifest()
     if batch_id is not None and batch_id <= m["batch_id"]:
-        return {"skipped": True, "batch_id": batch_id}
+        # replayed epoch. With fan-out attached we cannot short-circuit
+        # here: a crash may have landed BETWEEN the main commit and a
+        # silver/gold commit, so each downstream table's own batch_id
+        # guard must decide (merge_into re-checks and skips the main
+        # table); without fan-out the whole batch is a proven no-op.
+        if fanout is None and gold is None:
+            return {"skipped": True, "batch_id": batch_id}
     # 1. control-plane events (DDL + renames) in ONE small collect —
     #    schema_change events are global barriers in the log (WAL DDL
     #    is totally ordered), so every data event in this batch
@@ -251,7 +265,7 @@ def apply_batch(
     # the data events. Per-batch driver-side job latency is the serial
     # floor of the pipeline — every saved job counts.
     is_ctl = F.col("event_type").isin("schema_change", "file_rename")
-    is_data = F.col("event_type") != "schema_change"
+    is_data = F.col("event_type").isin(*REPO_EVENT_TYPES)
     bucket = table.bucket_expr(m)
     bucket_new = F.pmod(
         F.hash(F.col("repo"), F.get_json_object("payload", "$.new_path")),
@@ -262,6 +276,30 @@ def apply_batch(
         F.min(F.when(is_data, F.col("lsn"))).alias("lsn_min"),
         F.max(F.when(is_data, F.col("lsn"))).alias("lsn_max"),
         F.collect_set(F.when(is_data, bucket)).alias("buckets"),
+        # avg key width feeds the merge's broadcast byte bound — free
+        # here instead of a separate job there
+        F.avg(
+            F.when(is_data, F.length("repo") + F.length("path"))
+        ).alias("key_bytes_avg"),
+        # structurally-malformed upserts (unparseable payload JSON),
+        # counted JVM-side in THIS aggregation. The old stats pass
+        # re-ran the entire Arrow zlib decode a second time per batch
+        # just to count `_malformed`; pyspark's Observation cannot
+        # replace it (its listener never fires for foreachBatch batch
+        # queries — verified deadlock). Codec-level failures on valid
+        # JSON (corrupt zlib payload) are still nulled+filtered by the
+        # parser but are not in this count.
+        F.count(
+            F.when(
+                (F.col("event_type") == "file_upsert")
+                & F.from_json("payload", _UPSERT_WIRE).isNull(),
+                1,
+            )
+        ).alias("n_malformed"),
+        # which event types are present (skips fan-out work per batch)
+        # and the batch-wide max LSN (gold recompute version)
+        F.collect_set("event_type").alias("types"),
+        F.max("lsn").alias("lsn_max_all"),
         F.collect_list(
             F.when(
                 is_ctl,
@@ -301,6 +339,7 @@ def apply_batch(
         "n_upper": row0["n"],
         "lsn_min": row0["lsn_min"],
         "lsn_max": row0["lsn_max"],
+        "key_bytes_avg": row0["key_bytes_avg"],
         "buckets": list(row0["buckets"])
         + [r["_bucket_new"] for r in ctl if r["event_type"] == "file_rename"],
     }
@@ -375,8 +414,8 @@ def apply_batch(
     stats = {}
     if collect_stats:
         stats = {
-            "n_events": events.count(),
-            "n_malformed": ups.filter(F.col("_malformed")).count(),
+            "n_events": row0["n"],            # from the control agg —
+            "n_malformed": row0["n_malformed"],  # no extra jobs at all
             "n_renames": len(ren),
             "n_chained_renames": n_chained,
         }
@@ -385,10 +424,111 @@ def apply_batch(
     result = merge_into(
         table, updates, batch_id=batch_id, salt=salt, precomputed=precomputed
     )
+
+    # silver fan-out + incremental gold maintenance: each table carries
+    # its own batch_id guard, so a crash between any two commits heals
+    # on replay (the un-committed ones re-apply, the committed skip)
+    types_present = set(row0["types"] or [])
+    if fanout is not None:
+        result["silver"] = fanout.apply(
+            events, batch_id=batch_id, types_present=types_present
+        )
+    if gold is not None and "trade_event" in types_present:
+        result["gold"] = gold.update(
+            events, batch_id=batch_id, lsn_max=row0["lsn_max_all"]
+        )
+
     mark("merge_ms", t)
     timings["total_ms"] = int((time.time() - t0) * 1000)
     result.update(ddl=applied_ddl, salt=salt, timings=timings, **stats)
     return result
+
+
+class _MaturityGate:
+    """Runtime event-age gate (reference F5: MIN_MATURITY_SECONDS —
+    parser/main.py:22-23,60-63 sleeps until an event is old enough that
+    every sibling-table row it depends on has landed).
+
+    Micro-batch re-expression: events younger than `maturity` LSN-units
+    below the maximum LSN seen are DEFERRED to the next batch instead of
+    slept on. Invariant: if arrival jitter is bounded by `maturity`
+    (arrival position <= lsn + maturity), then every event with
+    lsn <= max_seen_lsn - maturity has certainly arrived, so the mature
+    set is LSN-complete — cross-key dependencies (renames reading the
+    old key's latest pre-rename write) resolve correctly even when the
+    upstream is NOT polite about per-key arrival barriers.
+
+    Deferred events live in a tiny parquet pending store next to the
+    checkpoint, advanced by an atomic pointer swap AFTER the sink
+    commits. Replay-safe: the split is a deterministic function of
+    (incoming ∪ pending), and a replayed epoch recomputes the identical
+    pending state (the mature side is absorbed by the merge's batch_id /
+    LSN guards).
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str, maturity: int):
+        import os
+
+        self.spark = spark
+        self.dir = state_dir
+        self.maturity = maturity
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _pointer(self) -> str | None:
+        import os
+
+        p = os.path.join(self.dir, "_current")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            tag = f.read().strip()
+        return os.path.join(self.dir, tag) if tag else None
+
+    def read_pending(self) -> DataFrame | None:
+        path = self._pointer()
+        if path is None:
+            return None
+        df = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(path)
+        return df
+
+    def split(self, incoming: DataFrame):
+        """-> (all_events persisted, mature, immature). Cutoff =
+        max(lsn over incoming ∪ pending) - maturity, which is stable
+        under replay (the max element is always immature, hence in
+        pending, hence preserved)."""
+        pend = self.read_pending()
+        allev = incoming if pend is None else incoming.unionByName(pend)
+        allev = allev.persist()
+        mx = allev.agg(F.max("lsn").alias("m")).collect()[0]["m"]
+        if mx is None:
+            return allev, allev, None
+        cutoff = mx - self.maturity
+        return (
+            allev,
+            allev.filter(F.col("lsn") <= cutoff),
+            allev.filter(F.col("lsn") > cutoff),
+        )
+
+    def commit(self, immature: DataFrame | None, batch_id: int) -> None:
+        """Persist the deferred set and swap the pointer (AFTER the sink
+        committed the mature set — the pointer swap is the gate's own
+        commit point)."""
+        import os
+        import uuid
+
+        tag = f"v{batch_id}"
+        out = os.path.join(self.dir, tag)
+        if immature is not None:
+            immature.write.mode("overwrite").parquet(out)
+        else:
+            self.spark.createDataFrame([], CHANGE_EVENT_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(out)
+        ptr = os.path.join(self.dir, "_current")
+        tmp = ptr + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(tag)
+        os.replace(tmp, ptr)
 
 
 class CdcPipeline:
@@ -403,19 +543,45 @@ class CdcPipeline:
         max_files_per_trigger: int = 4,
         salt: int = 16,
         collect_stats: bool = True,
+        fanout=None,   # cdc.silver.SilverFanout
+        gold=None,     # gold.GoldDecayedPrice
+        source: str = "files",                      # 'files' | 'kafka'
+        kafka_options: dict[str, str] | None = None,
+        maturity: int | None = None,   # event-age gate in LSN units (F5)
     ):
+        # the rename-resolution layer is specialized to the (repo, path)
+        # key (chained-rename split, synthetic-row construction); wiring
+        # a table with other keys would silently mis-resolve renames
+        if table.key_fields() != ["repo", "path"]:
+            raise ValueError(
+                "CdcPipeline requires a table keyed by ['repo', 'path']; "
+                f"got {table.key_fields()} (use merge_into directly for "
+                "generic-keyed tables)"
+            )
         self.spark = spark
         self.table = table
         self.event_dir = event_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        self.source = source
+        self.kafka_options = kafka_options
+        self.gate = (
+            _MaturityGate(spark, checkpoint_dir + "_pending", maturity)
+            if maturity is not None
+            else None
+        )
         self.monitor = HotKeyMonitor(table.key_fields(), salt=salt)
         self.collect_stats = collect_stats
+        self.fanout = fanout
+        self.gold = gold
         self.batches_applied = 0
         self.batch_results: list[dict] = []
         self.fail_after: int | None = None  # test hook: crash injection
 
     def _handle(self, batch_df: DataFrame, batch_id: int) -> None:
+        allev = immature = None
+        if self.gate is not None:
+            allev, batch_df, immature = self.gate.split(batch_df)
         res = apply_batch(
             self.spark,
             self.table,
@@ -423,7 +589,13 @@ class CdcPipeline:
             batch_id=batch_id,
             monitor=self.monitor,
             collect_stats=self.collect_stats,
+            fanout=self.fanout,
+            gold=self.gold,
         )
+        if self.gate is not None:
+            # pointer swap only after every sink commit above succeeded
+            self.gate.commit(immature, batch_id)
+            allev.unpersist()
         self.batch_results.append(res)
         self.batches_applied += 1
         if self.fail_after is not None and self.batches_applied >= self.fail_after:
@@ -439,10 +611,14 @@ class CdcPipeline:
             from ..streaming.metrics import attach_metrics_listener
 
             listener = attach_metrics_listener(self.spark, metrics_path)
-        stream = (
-            self.spark.readStream.schema(CHANGE_EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.event_dir)
+        from .kafka_io import change_event_stream
+
+        stream = change_event_stream(
+            self.spark,
+            self.source,
+            event_dir=self.event_dir,
+            max_files_per_trigger=self.max_files_per_trigger,
+            kafka_options=self.kafka_options,
         )
         writer = stream.writeStream.foreachBatch(self._handle).option(
             "checkpointLocation", self.checkpoint_dir
@@ -453,6 +629,31 @@ class CdcPipeline:
         finally:
             if listener is not None:
                 self.spark.streams.removeListener(listener)
+        if available_now and self.gate is not None:
+            self.flush_pending()
+
+    def flush_pending(self) -> dict | None:
+        """Drain the maturity gate's deferred events at end-of-log
+        (availableNow replay). Applied WITHOUT a batch_id: the merge's
+        LSN guards + in-batch dedup make a repeated flush a no-op, so
+        resume-then-reflush is safe."""
+        if self.gate is None:
+            return None
+        pend = self.gate.read_pending()
+        if pend is None:
+            return None
+        res = apply_batch(
+            self.spark,
+            self.table,
+            pend,
+            batch_id=None,
+            monitor=self.monitor,
+            collect_stats=self.collect_stats,
+            fanout=self.fanout,
+            gold=self.gold,
+        )
+        self.batch_results.append(res)
+        return res
 
     def run_batch(self) -> dict:
         events = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.event_dir)
@@ -463,4 +664,6 @@ class CdcPipeline:
             batch_id=None,
             monitor=self.monitor,
             collect_stats=self.collect_stats,
+            fanout=self.fanout,
+            gold=self.gold,
         )

@@ -53,19 +53,36 @@ def run_relay(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int = 4,
+    sink: str = "parquet",                          # 'parquet' | 'kafka'
+    kafka_bootstrap: str | None = None,
+    kafka_topic: str = "streaming_files",
 ) -> None:
+    """sink='parquet' is the Avro-file-exporter analogue (K4);
+    sink='kafka' is the public-topic producer relay (K5,
+    datalake/streaming.py:94-106) — rows keyed by (repo, path) so
+    per-key order survives topic partitioning."""
     stream = (
         spark.readStream.schema(CHANGE_EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(event_dir)
     )
-    writer = (
-        convert_for_export(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("block_date")
-        .outputMode("append")
-    )
+    converted = convert_for_export(stream)
+    if sink == "kafka":
+        from .kafka_io import encode_kafka_output, kafka_sink_options
+
+        out = encode_kafka_output(converted, ["repo", "path"], kafka_topic)
+        writer = out.writeStream.format("kafka")
+        for k, v in kafka_sink_options(kafka_bootstrap or "", checkpoint_dir).items():
+            writer = writer.option(k, v)
+        writer = writer.outputMode("append")
+    else:
+        writer = (
+            converted
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .partitionBy("block_date")
+            .outputMode("append")
+        )
     q = writer.trigger(availableNow=True).start() if available_now else writer.start()
     q.awaitTermination()

@@ -77,15 +77,18 @@ def main() -> None:
         REPOS_KEY_FIELDS, "lsn", bucket_count=max(cores * 4, 16),
     )
     wev = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(wlog)
-    apply_batch(spark, wtable, wev, collect_stats=False)
+    apply_batch(spark, wtable, wev)
 
     table = LakeTable.create(
         spark, os.path.join(work, "lake"), REPOS_SCHEMA, REPOS_KEY_FIELDS,
         "lsn", bucket_count=max(cores * 4, 16),
     )
+    # collect_stats stays at the shipped default (True): stats are now
+    # observed inside the merge pass (no extra jobs), so the benched
+    # path IS the default path
     pipe = CdcPipeline(
         spark, table, log_dir, os.path.join(work, "cp"),
-        max_files_per_trigger=mft, collect_stats=False,
+        max_files_per_trigger=mft,
     )
     pipe.monitor.refresh_every = 1000
     t0 = time.time()

@@ -122,6 +122,58 @@ class GenParams:
     n_files: int = 12
     zipf_a: float = 1.3
     ddl_script: list = field(default_factory=lambda: list(DDL_SCRIPT))
+    # fact-event fan-out (trade/metadata/comment silver tables):
+    # share of events that are fact events rather than repos-table CDC
+    p_facts: float = 0.0
+    # rename arrival barrier (all writes to the old key arrive before the
+    # rename). True = the polite-generator assumption; False = renames
+    # jitter like everything else, which REQUIRES the pipeline's runtime
+    # maturity gate (reference MIN_MATURITY_SECONDS, parser/main.py:60-63)
+    rename_barrier: bool = True
+
+
+_FACT_TYPES = ("trade_event", "metadata_event", "comment_event")
+
+
+def fact_payload(kind: str, repo: str, lsn: int) -> str:
+    """Deterministic wire payload for a fact event (shared with test
+    oracles)."""
+    h = _h(f"fact|{lsn}")
+    if kind == "trade_event":
+        # ~25% of amounts exceed int64 (up to ~10^33 ≈ 2^110) — the
+        # unbounded-numeric range of reference athena_ddl.sql:84
+        big = int(h[0], 16) < 4
+        amount = int(h[0:30], 16) % (10**33) if big else int(h[0:8], 16)
+        scale = int(h[31], 16) % 3
+        unscaled = amount * (10**scale)
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        price_unscaled = (int(h[8:16], 16) % 10**7) + 1
+        obj = {
+            "asset": repo,
+            "side": "buy" if int(h[16], 16) % 2 == 0 else "sell",
+            "amount_scale": scale,
+            "amount_value": base64.b64encode(
+                unscaled.to_bytes(nbytes, "big", signed=True)
+            ).decode(),
+            "price_scale": 3,
+            "price_value": base64.b64encode(
+                price_unscaled.to_bytes(4, "big", signed=True)
+            ).decode(),
+        }
+    elif kind == "metadata_event":
+        obj = {
+            "name": f"tok_{repo.split('/')[-1]}",
+            "symbol": h[:6].upper(),
+            "sources_csv": ",".join(h[i * 4 : i * 4 + 4] for i in range(6)),
+        }
+    else:  # comment_event
+        text = f"comment {h[:12]} on {repo} " + " ".join(
+            f"w{h[i]}" for i in range(8)
+        )
+        obj = {
+            "text_z": base64.b64encode(zlib.compress(text.encode(), 1)).decode()
+        }
+    return json.dumps(obj, separators=(",", ":"))
 
 
 @dataclass
@@ -163,10 +215,11 @@ def generate_events(p: GenParams) -> list[Event]:
     lsn = 0
     rename_seq = 0
 
+    n_rand = 6 if p.p_facts > 0 else 5  # keep draws identical when facts off
     chunk = 1 << 16
     repo_choices = rng.choice(p.n_repos, size=chunk, p=probs)
     path_choices = rng.integers(0, p.paths_per_repo, size=chunk)
-    u = rng.random(size=(chunk, 5))
+    u = rng.random(size=(chunk, n_rand))
     i = -1
     emitted = 0
     max_iter = p.n_events * 4
@@ -177,7 +230,7 @@ def generate_events(p: GenParams) -> list[Event]:
         if i > 0 and ci == 0:
             repo_choices = rng.choice(p.n_repos, size=chunk, p=probs)
             path_choices = rng.integers(0, p.paths_per_repo, size=chunk)
-            u = rng.random(size=(chunk, 5))
+            u = rng.random(size=(chunk, n_rand))
         lsn += LSN_STEP
         if emitted in ddl_positions:
             ddl = ddl_positions.pop(emitted)
@@ -192,6 +245,17 @@ def generate_events(p: GenParams) -> list[Event]:
                       json.dumps(ddl, separators=(",", ":")),
                       arrival=float(lsn), ts_ms=lsn)
             )
+            continue
+
+        if p.p_facts > 0 and u[ci, 5] < p.p_facts:
+            kind = _FACT_TYPES[int(u[ci, 1] * 3) % 3]
+            repo = repos[repo_choices[ci]]
+            events.append(
+                Event(lsn, "c" if kind != "metadata_event" else "u", kind,
+                      repo, None, fact_payload(kind, repo, lsn),
+                      arrival=lsn + u[ci, 3] * ARRIVAL_JITTER, ts_ms=lsn)
+            )
+            emitted += 1
             continue
 
         if u[ci, 0] < p.hot_share:
@@ -221,9 +285,15 @@ def generate_events(p: GenParams) -> list[Event]:
             new_path = f"{path}.moved{rename_seq}"
             payload = json.dumps({"new_path": new_path}, separators=(",", ":"))
             # per-key barrier: arrives after every earlier write to `key`
+            # (unless disabled — then the runtime maturity gate must cope)
+            ren_arrival = (
+                lsn + ARRIVAL_JITTER + 1.0
+                if p.rename_barrier
+                else lsn + u[ci, 3] * ARRIVAL_JITTER
+            )
             events.append(
                 Event(lsn, "u", "file_rename", repo, path, payload,
-                      arrival=lsn + ARRIVAL_JITTER + 1.0, ts_ms=lsn)
+                      arrival=ren_arrival, ts_ms=lsn)
             )
             retired.add(key)
             live.pop(key)

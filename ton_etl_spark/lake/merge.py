@@ -34,15 +34,22 @@ and commit atomically with per-bucket lineage + a metrics row.
 
 from __future__ import annotations
 
-import os
 import time
 
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, functions as F
 
 from .table import LakeTable
 
 BROADCAST_KEY_LIMIT = 4_000_000  # deduped keys above this -> union-agg plan
+# hard byte bound on the broadcast strategy: F.broadcast is a HARD hint
+# that bypasses autoBroadcastJoinThreshold, so a row-count cap alone can
+# broadcast hundreds of MB of key strings per executor (driver/executor
+# OOM at scale). The estimate is n_keys * (avg key width + overhead);
+# above the cap the merge falls back to union_agg, which never
+# broadcasts. Width rides along in the same control-plane aggregation
+# the pipeline already runs — no extra job.
+BROADCAST_BYTES_CAP = 256 * 1024 * 1024
+_KEY_ROW_OVERHEAD = 32  # per-row struct/offset overhead in the broadcast rel
 
 
 def dedup_updates(
@@ -176,6 +183,7 @@ def merge_into(
         n_keys = precomputed["n_upper"]
         lsn_min, lsn_max = precomputed["lsn_min"], precomputed["lsn_max"]
         affected = sorted(set(precomputed["buckets"]))
+        key_width = precomputed.get("key_bytes_avg")
     else:
         deduped = deduped.persist()
         persisted = True
@@ -184,6 +192,11 @@ def merge_into(
             F.min(vf).alias("lsn_min"),
             F.max(vf).alias("lsn_max"),
             F.collect_set("_bucket").alias("buckets"),
+            F.avg(
+                sum(
+                    (F.length(F.col(k).cast("string")) for k in keys), F.lit(0)
+                )
+            ).alias("kw"),
         ).collect()[0]
         n_keys = agg["n"]
         lsn_min, lsn_max = agg["lsn_min"], agg["lsn_max"]
@@ -191,6 +204,7 @@ def merge_into(
             deduped.unpersist()
             return {"skipped": True, "empty": True, "version": m["version"]}
         affected = sorted(agg["buckets"])
+        key_width = agg["kw"]
     if n_keys == 0:
         return {"skipped": True, "empty": True, "version": m["version"]}
 
@@ -204,7 +218,15 @@ def merge_into(
     # manifest make the decision free.
     brows = m.get("bucket_rows", {})
     affected_rows = sum(int(brows.get(str(b), 0)) for b in affected)
-    if n_keys > BROADCAST_KEY_LIMIT or affected_rows <= 4 * n_keys:
+    # byte bound: estimated broadcast size of the update-key set (the
+    # `matched` rel is <= the same size + one long). Unknown width (no
+    # string keys / missing stat) falls back to a conservative 64 bytes.
+    est_key_bytes = n_keys * ((key_width or 64.0) + _KEY_ROW_OVERHEAD)
+    if (
+        n_keys > BROADCAST_KEY_LIMIT
+        or est_key_bytes > BROADCAST_BYTES_CAP
+        or affected_rows <= 4 * n_keys
+    ):
         strategy = "union_agg"
     else:
         strategy = "broadcast"
@@ -272,7 +294,7 @@ def merge_into(
     # the SAME Murmur3 hash HashPartitioning uses — each task holds
     # whole buckets already (requires bucket_count % shuffle.partitions
     # == 0 for perfect alignment; misalignment only costs extra files).
-    file_map = table.write_buckets(resolved, "_bucket", new_version)
+    file_map, rows_map = table.write_buckets(resolved, "_bucket", new_version)
     write_ms = int((time.time() - t_write) * 1000)
     if persisted:
         deduped.unpersist()
@@ -290,10 +312,7 @@ def merge_into(
     for b in affected:
         files = file_map.get(str(b), [])
         new_buckets[str(b)] = files
-        rc = sum(
-            pq.ParquetFile(os.path.join(table.root, p)).metadata.num_rows
-            for p in files
-        )
+        rc = rows_map.get(str(b), 0)
         new_bucket_rows[str(b)] = rc
         rows_written += rc
         lineage[str(b)] = {

@@ -196,6 +196,12 @@ class LakeTable:
     def rename_column(self, old: str, new: str, batch_id: int | None = None) -> None:
         m = self.manifest()
         if not any(f["name"] == old for f in m["fields"]):
+            return  # already renamed (replay idempotence)
+        if any(f["name"] == new for f in m["fields"]):
+            # target name taken (e.g. add 'language' then rename
+            # lang->language): renaming would create two fields with one
+            # logical name and silently corrupt name-keyed alignment.
+            # No-op, matching ADD COLUMN IF NOT EXISTS idempotence.
             return
         for f in m["fields"]:
             if f["name"] == old:
@@ -248,6 +254,11 @@ class LakeTable:
         `include_deleted` (the merge path reads them to keep LSN guards
         effective across deletes).
         """
+        if version is not None and version < self.vacuum_horizon():
+            raise ValueError(
+                f"version {version} expired by vacuum (time-travel horizon "
+                f"is v{self.vacuum_horizon()})"
+            )
         m = self.manifest(version)
         files: list[str] = []
         for b, flist in m["buckets"].items():
@@ -271,10 +282,10 @@ class LakeTable:
 
     def write_buckets(
         self, df: DataFrame, bucket_col: str, version: int
-    ) -> dict[str, list[str]]:
+    ) -> tuple[dict[str, list[str]], dict[str, int]]:
         """Write `df` partitioned by bucket under data/v<version>/ and return
-        {bucket: [relative file paths]} for the manifest. Physical column
-        names (f<id>) are applied here."""
+        ({bucket: [relative file paths]}, {bucket: row count}) for the
+        manifest. Physical column names (f<id>) are applied here."""
         m = self.manifest()
         out_dir = os.path.join(self.root, "data", f"v{version}")
         phys_cols = [
@@ -293,7 +304,50 @@ class LakeTable:
                 os.path.relpath(p, self.root)
                 for p in glob.glob(os.path.join(d, "*.parquet"))
             ]
-        return out
+        return out, self._bucket_row_counts(out)
+
+    def _bucket_row_counts(self, file_map: dict[str, list[str]]) -> dict[str, int]:
+        """Per-bucket row counts of freshly written files, WITHOUT a
+        serial driver loop over parquet footers (the O(files) per-commit
+        driver I/O was the pipeline's serial floor). Small commits (the
+        streaming steady state) read footers concurrently on the driver;
+        large commits use one distributed metadata-only Spark job
+        (count over a parquet scan with no data columns = footer row
+        counts, no data pages)."""
+        import pyarrow.parquet as pq
+
+        n_files = sum(len(v) for v in file_map.values())
+        if n_files == 0:
+            return {}
+        if n_files <= 256:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def count_one(p: str) -> int:
+                return pq.read_metadata(os.path.join(self.root, p)).num_rows
+
+            with ThreadPoolExecutor(max_workers=min(32, n_files)) as ex:
+                return {
+                    b: sum(ex.map(count_one, files)) if files else 0
+                    for b, files in file_map.items()
+                }
+        all_files = [
+            os.path.join(self.root, p) for fl in file_map.values() for p in fl
+        ]
+        rows = (
+            self.spark.read.parquet(*all_files)
+            .groupBy(F.input_file_name().alias("_f"))
+            .count()
+            .collect()
+        )
+        by_file = {r["_f"]: r["count"] for r in rows}
+
+        def lookup(p: str) -> int:
+            full = "file://" + os.path.abspath(os.path.join(self.root, p))
+            return by_file.get(full, by_file.get(os.path.join(self.root, p), 0))
+
+        return {
+            b: sum(lookup(p) for p in files) for b, files in file_map.items()
+        }
 
     # -- maintenance -----------------------------------------------------------
 
@@ -307,20 +361,14 @@ class LakeTable:
             return {"skipped": True, "version": m["version"]}
         df = transform(self.read(buckets=buckets, include_deleted=True))
         new_version = m["version"] + 1
-        file_map = self.write_buckets(
+        file_map, rows_map = self.write_buckets(
             df.withColumn("_bucket", self.bucket_expr(m)), "_bucket", new_version
         )
         new_buckets = dict(m["buckets"])
         new_rows = dict(m.get("bucket_rows", {}))
-        import pyarrow.parquet as _pq
-
         for b in buckets:
-            files = file_map.get(str(b), [])
-            new_buckets[str(b)] = files
-            new_rows[str(b)] = sum(
-                _pq.ParquetFile(os.path.join(self.root, p)).metadata.num_rows
-                for p in files
-            )
+            new_buckets[str(b)] = file_map.get(str(b), [])
+            new_rows[str(b)] = rows_map.get(str(b), 0)
         self.commit(
             dict(
                 m,
@@ -386,10 +434,16 @@ class LakeTable:
         return self._rewrite_buckets(buckets, lambda df: df, "compact")
 
     def vacuum(self, keep_last: int = 1) -> int:
-        """Delete data files not referenced by the last `keep_last` versions."""
+        """Delete data files not referenced by the last `keep_last`
+        versions. Vacuum BOUNDS THE TIME-TRAVEL HORIZON: versions older
+        than the kept window keep their manifests (history/lineage stays
+        queryable) but their data may be gone, so `read(version=old)`
+        fails with an explicit horizon error instead of a
+        FileNotFoundException mid-scan."""
         cur = self.current_version()
+        horizon = max(0, cur - keep_last + 1)
         keep: set[str] = set()
-        for v in range(max(0, cur - keep_last + 1), cur + 1):
+        for v in range(horizon, cur + 1):
             for flist in self.manifest(v)["buckets"].values():
                 keep.update(flist)
         removed = 0
@@ -397,7 +451,19 @@ class LakeTable:
             if os.path.relpath(p, self.root) not in keep:
                 os.remove(p)
                 removed += 1
+        hpath = os.path.join(self.root, "_vacuum_horizon")
+        tmp = hpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(horizon))
+        os.replace(tmp, hpath)
         return removed
+
+    def vacuum_horizon(self) -> int:
+        p = os.path.join(self.root, "_vacuum_horizon")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
 
     def history(self) -> list[dict]:
         out = []

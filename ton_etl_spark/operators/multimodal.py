@@ -73,11 +73,17 @@ def extract_features(
     media: DataFrame, feature_dim: int = 8, strict: bool = False,
     batch_rows: int = 256,
 ) -> DataFrame:
-    """Decode + feature-extract via mapInPandas. Arrow batch size is
-    capped (`batch_rows`) because binary payloads dominate memory — the
-    same knob you would tune for 100 MB media blobs at cluster scale
-    (cf. the reference raising Kafka limits to 200 MB for mega account
-    states, README.md:30-39)."""
+    """Decode + feature-extract via mapInPandas. The working-set bound
+    for fat binary rows is enforced INSIDE the kernel: each incoming
+    Arrow batch is processed in `batch_rows`-row slices and yielded
+    incrementally, so peak memory per python worker is one slice of
+    decoded output regardless of the session's
+    arrow.maxRecordsPerBatch. (Setting that conf here and restoring it
+    in a finally block would be a silent no-op — mapInPandas is lazy and
+    the conf is read at ACTION time, after restore.) This is the knob
+    you tune for 100 MB media blobs at cluster scale, cf. the reference
+    raising Kafka limits to 200 MB for mega account states
+    (README.md:30-39)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -87,27 +93,23 @@ def extract_features(
                     "this environment; install PIL/ffmpeg and replace "
                     "this kernel"
                 )
-            out = {
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "n_bytes": pdf["data"].map(lambda b: len(b or b"")),
-                "content_sha": pdf["data"].map(
-                    lambda b: hashlib.sha256(b or b"").hexdigest()
-                ),
-                "feature": pdf["data"].map(
-                    lambda b: _fake_feature(b, feature_dim)
-                ),
-                "is_fake_decode": True,
-            }
-            yield pd.DataFrame(out)
+            for lo in range(0, len(pdf), batch_rows):
+                sl = pdf.iloc[lo : lo + batch_rows]
+                out = {
+                    "media_id": sl["media_id"],
+                    "kind": sl["kind"],
+                    "n_bytes": sl["data"].map(lambda b: len(b or b"")),
+                    "content_sha": sl["data"].map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feature": sl["data"].map(
+                        lambda b: _fake_feature(b, feature_dim)
+                    ),
+                    "is_fake_decode": True,
+                }
+                yield pd.DataFrame(out)
 
-    spark = media.sparkSession
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
-    try:
-        return media.mapInPandas(run, FEATURE_SCHEMA)
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def _fake_feature(b: bytes, dim: int) -> list[float]:

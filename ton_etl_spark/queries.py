@@ -320,6 +320,152 @@ SELECT event_id, event_id AS decoded FROM events WHERE event_id < 3000
 """
 
 
+def q_trade_decimal(spark, sf):
+    # P3 at full range: Debezium decimal decode into DecimalType(38,0)
+    # with values CROSSING 2^63 (the reference's unbounded `numeric`
+    # amounts, athena_ddl.sql:84,332-338). 16-byte two's-complement
+    # fixtures are assembled JVM-side: value = hi * 2^64 + lo.
+    from .cdc.parsers import debezium_decimal
+
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 2000)
+    hi = (F.col("event_id") + 1).cast("long")              # > 0 -> value > 2^64
+    lo = ((F.col("event_id") * 2654435761) % 4294967296).cast("long")
+    b = F.concat(
+        F.unhex(F.lpad(F.hex(hi), 16, "0")),
+        F.unhex(F.lpad(F.hex(lo), 16, "0")),
+    )
+    scale = (F.col("event_id") % 3).cast("int")
+    return ev.select(
+        "event_id",
+        scale.alias("scale"),
+        debezium_decimal(F.base64(b), scale).alias("amount"),
+    )
+
+
+O_TRADE_DECIMAL = """
+WITH t AS (
+  SELECT event_id,
+         CAST(event_id % 3 AS INT) AS scale,
+         CAST(event_id + 1 AS HUGEINT) * 18446744073709551616::HUGEINT
+           + CAST((event_id * 2654435761) % 4294967296 AS HUGEINT) AS v
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id, scale,
+       CAST(v // (CASE scale WHEN 0 THEN 1 WHEN 1 THEN 10 ELSE 100 END)
+            AS DECIMAL(38,0)) AS amount
+FROM t
+"""
+
+
+def q_csv_struct(spark, sf):
+    # P6: CSV string -> named struct (jetton_metadata `sources` record,
+    # datalake/converters/jetton_metadata.py:26-35), including a short
+    # row whose missing trailing fields become NULL (NonCritical)
+    from .cdc.parsers import csv_struct
+
+    names = ["jetton", "admin", "metadata", "image", "symbol_src", "decimals_src"]
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 1500)
+    fields = [
+        ((F.col("event_id") * (i + 7)) % 1000).cast("string") for i in range(6)
+    ]
+    csv = F.when(
+        F.col("event_id") % 10 == 0, F.concat_ws(",", *fields[:3])
+    ).otherwise(F.concat_ws(",", *fields))
+    s = csv_struct(csv, names)
+    return ev.select(
+        "event_id", *[s.getField(n).alias(n) for n in names]
+    )
+
+
+O_CSV_STRUCT = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0
+              THEN [((event_id * 7) % 1000)::VARCHAR,
+                    ((event_id * 8) % 1000)::VARCHAR,
+                    ((event_id * 9) % 1000)::VARCHAR]
+              ELSE [((event_id * 7) % 1000)::VARCHAR,
+                    ((event_id * 8) % 1000)::VARCHAR,
+                    ((event_id * 9) % 1000)::VARCHAR,
+                    ((event_id * 10) % 1000)::VARCHAR,
+                    ((event_id * 11) % 1000)::VARCHAR,
+                    ((event_id * 12) % 1000)::VARCHAR] END AS p
+  FROM events WHERE event_id < 1500
+)
+SELECT event_id, p[1] AS jetton, p[2] AS admin, p[3] AS metadata,
+       p[4] AS image, p[5] AS symbol_src, p[6] AS decimals_src
+FROM t
+"""
+
+
+def q_content_codec(spark, sf):
+    # E3/E4 codec path as a roundtrip identity: pack (zlib+base64) then
+    # decode with the engine's vectorized UDF — the oracle is the
+    # original text (the comment/message-content decode analogue,
+    # reference decode_comment.py:27-35)
+    from .cdc.parsers import pack_zb64, unpack_zb64
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", unpack_zb64(pack_zb64(F.col("text"))).alias("text")
+    )
+
+
+O_CONTENT_CODEC = """
+SELECT doc_id, text FROM documents WHERE doc_id < 200
+"""
+
+
+def q_relay_export(spark, sf):
+    # K4/K5: the export relay's converter projection run as a batch over
+    # an envelope synthesized from `documents` — P1 rename/reshape, E5
+    # content sha, E6 event-date partition column (cdc/relay.py)
+    from .cdc.parsers import pack_zb64
+    from .cdc.relay import convert_for_export
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    payload = F.to_json(
+        F.struct(
+            F.substring("text", 1, 8).alias("commit"),
+            F.lit("py").alias("lang"),
+            pack_zb64(F.col("text")).alias("content_z"),
+            F.lit(0).alias("size_scale"),
+            F.base64(
+                F.unhex(F.lpad(F.hex(F.length("text").cast("long")), 16, "0"))
+            ).alias("size_value"),
+            F.col("doc_id").cast("long").alias("stars"),
+        )
+    )
+    events = docs.select(
+        F.col("doc_id").cast("long").alias("lsn"),
+        (F.col("doc_id") * 1000).cast("long").alias("ts_ms"),
+        F.lit("c").alias("op"),
+        F.lit("file_upsert").alias("event_type"),
+        F.concat(F.lit("r"), (F.col("doc_id") % 5).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("path"),
+        payload.alias("payload"),
+    )
+    out = convert_for_export(events)
+    return out.select(
+        "repo", "path", "lsn", "commit", "content_sha", "block_date",
+        "size_bytes", "stars",
+    )
+
+
+O_RELAY_EXPORT = """
+SELECT 'r' || (doc_id % 5)::VARCHAR AS repo,
+       'p' || doc_id::VARCHAR AS path,
+       CAST(doc_id AS BIGINT) AS lsn,
+       left(text, 8) AS commit,
+       sha256(text) AS content_sha,
+       strftime(to_timestamp((doc_id * 1000 + 1700000000000) / 1000),
+                '%Y%m%d') AS block_date,
+       CAST(length(text) AS BIGINT) AS size_bytes,
+       CAST(doc_id AS BIGINT) AS stars
+FROM documents WHERE doc_id < 300
+"""
+
+
 def q_volume_rules(spark, sf):
     # A7 analogue: row-wise conditional valuation (estimate_tvl's rule
     # table, swap_volume.py:125-197): per-event USD volume under rules,
@@ -572,10 +718,9 @@ def q_minhash_lsh_pairs(spark, sf):  # no SQL oracle: xxhash64 is Spark-side
     return DD.lsh_candidate_pairs(docs, "doc_id", "text", n_perm=16, bands=8)
 
 
-def q_simhash_pairs(spark, sf):  # no SQL oracle: blake2b simhash kernel
+def q_simhash_pairs(spark, sf):  # no SQL oracle: xxhash64 simhash kernel
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return DD.simhash_near_dups(docs, "doc_id", "text", max_hamming=16,
-                                prefix_bits=4)
+    return DD.simhash_near_dups(docs, "doc_id", "text", max_hamming=8)
 
 
 # ---------------------------------------------------------------------------
@@ -710,6 +855,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parent_event": q_parent_event,
     "explode_props": q_explode_props,
     "debezium_roundtrip": q_debezium_roundtrip,
+    "trade_decimal": q_trade_decimal,
+    "csv_struct": q_csv_struct,
+    "content_codec": q_content_codec,
+    "relay_export": q_relay_export,
     "volume_rules": q_volume_rules,
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -744,6 +893,10 @@ ORACLES: dict[str, str] = {
     "parent_event": O_PARENT_EVENT,
     "explode_props": O_EXPLODE_PROPS,
     "debezium_roundtrip": O_DEBEZIUM_ROUNDTRIP,
+    "trade_decimal": O_TRADE_DECIMAL,
+    "csv_struct": O_CSV_STRUCT,
+    "content_codec": O_CONTENT_CODEC,
+    "relay_export": O_RELAY_EXPORT,
     "volume_rules": O_VOLUME_RULES,
     "pricing_summary": O_PRICING_SUMMARY,
     "region_revenue": O_REGION_REVENUE,
