@@ -1,0 +1,67 @@
+"""F7 runtime-learned blacklist: bot repos (always-corrupt payloads)
+are learned and excluded at runtime without affecting final-state
+parity."""
+
+from ton_etl_spark.cdc.blacklist import LearnedBlacklist
+from ton_etl_spark.cdc.pipeline import CdcPipeline
+from ton_etl_spark.datagen import GenParams, generate_events, write_event_log
+from ton_etl_spark.lake.table import LakeTable
+from ton_etl_spark.schemas import REPOS_KEY_FIELDS, REPOS_SCHEMA
+
+from test_cdc_e2e import oracle_state, table_state
+
+
+def test_blacklist_learns_bots_and_keeps_parity(spark, tmp_path):
+    p = GenParams(
+        n_events=4000, n_repos=20, paths_per_repo=10, n_files=12,
+        p_bot_repos=0.2,
+    )
+    events = generate_events(p)
+    bots = {
+        e.repo for e in events
+        if e.payload and e.payload.startswith('{"commit": "BOT_CORRUPT')
+    }
+    assert len(bots) >= 2
+
+    log_dir = str(tmp_path / "events")
+    write_event_log(events, log_dir, p.n_files)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), REPOS_SCHEMA, REPOS_KEY_FIELDS, "lsn",
+        bucket_count=16,
+    )
+    bl = LearnedBlacklist(min_batches=2)
+    pipe = CdcPipeline(
+        spark, table, log_dir, str(tmp_path / "cp"),
+        max_files_per_trigger=2, blacklist=bl,
+    )
+    pipe.run_streaming()
+
+    # the blacklist actually learned the bots...
+    assert bl.active, "no repos were learned"
+    assert bl.active <= bots, f"false positives: {bl.active - bots}"
+    # ...and never a healthy repo
+    healthy = {e.repo for e in events if e.repo} - bots
+    assert not (bl.active & healthy)
+
+    # parity: final state identical to the oracle (blacklisted events
+    # carried no decodable content, so exclusion is semantics-free)
+    expected, _ = oracle_state(events)
+    assert table_state(table) == expected
+
+
+def test_blacklist_unit_promotion_rules():
+    bl = LearnedBlacklist(min_batches=3)
+    # three malformed-only batches promote
+    for _ in range(3):
+        bl.observe(["botA"], [])
+    assert bl.active == {"botA"}
+    # a well-formed sighting exempts forever
+    bl.observe(["repoB"], [])
+    bl.observe(["repoB"], ["repoB"])
+    for _ in range(5):
+        bl.observe(["repoB"], [])
+    assert "repoB" not in bl.active
+    # exclusion expr only filters upserts of active repos
+    assert bl.exclusion_expr() is not None
+    empty = LearnedBlacklist()
+    assert empty.exclusion_expr() is None

@@ -235,8 +235,9 @@ def apply_batch(
     registry: ParserRegistry | None = None,
     monitor: HotKeyMonitor | None = None,
     collect_stats: bool = True,
-    fanout=None,   # cdc.silver.SilverFanout
-    gold=None,     # gold.GoldDecayedPrice
+    fanout=None,       # cdc.silver.SilverFanout
+    gold=None,         # gold.GoldDecayedPrice
+    blacklist=None,    # cdc.blacklist.LearnedBlacklist
 ) -> dict:
     t0 = time.time()
     timings: dict[str, int] = {}
@@ -266,6 +267,37 @@ def apply_batch(
     # floor of the pipeline — every saved job counts.
     is_ctl = F.col("event_type").isin("schema_change", "file_rename")
     is_data = F.col("event_type").isin(*REPO_EVENT_TYPES)
+    is_up = (F.col("event_type") == "file_upsert") & F.col("op").isin("c", "r", "u")
+    # structurally malformed: PERMISSIVE from_json yields an all-null
+    # struct for corrupt JSON (NOT a null struct), so test the required
+    # field — same definition the parser uses for `_malformed`
+    bad_json = F.from_json("payload", _UPSERT_WIRE).getField("content_z").isNull()
+    # F7 learned blacklist: exclude known always-malformed repos BEFORE
+    # anything (incl. affected-bucket calc — their buckets never change);
+    # collect this batch's evidence in the same control aggregation
+    bl_evidence = []
+    if blacklist is not None:
+        excl = blacklist.exclusion_expr()
+        if excl is not None:
+            events = events.filter(excl)
+        suspects = blacklist.suspects()
+        bl_evidence = [
+            F.slice(
+                F.collect_set(F.when(is_up & bad_json, F.col("repo"))), 1, 4096
+            ).alias("_bl_bad"),
+            F.slice(
+                F.collect_set(
+                    F.when(
+                        is_up & ~bad_json & F.col("repo").isin(suspects),
+                        F.col("repo"),
+                    )
+                    if suspects
+                    else F.lit(None).cast("string")
+                ),
+                1,
+                4096,
+            ).alias("_bl_ok"),
+        ]
     bucket = table.bucket_expr(m)
     bucket_new = F.pmod(
         F.hash(F.col("repo"), F.get_json_object("payload", "$.new_path")),
@@ -289,13 +321,8 @@ def apply_batch(
         # queries — verified deadlock). Codec-level failures on valid
         # JSON (corrupt zlib payload) are still nulled+filtered by the
         # parser but are not in this count.
-        F.count(
-            F.when(
-                (F.col("event_type") == "file_upsert")
-                & F.from_json("payload", _UPSERT_WIRE).isNull(),
-                1,
-            )
-        ).alias("n_malformed"),
+        F.count(F.when(is_up & bad_json, 1)).alias("n_malformed"),
+        *bl_evidence,
         # which event types are present (skips fan-out work per batch)
         # and the batch-wide max LSN (gold recompute version)
         F.collect_set("event_type").alias("types"),
@@ -322,6 +349,11 @@ def apply_batch(
         ).alias("ctl"),
     ).collect()[0]
     ctl = row0["ctl"]
+    if blacklist is not None:
+        blacklist.observe(
+            [r for r in (row0["_bl_bad"] or []) if r],
+            [r for r in (row0["_bl_ok"] or []) if r],
+        )
     ddl = [
         {**json.loads(r["payload"]), "lsn": r["lsn"]}
         for r in ctl
@@ -548,6 +580,7 @@ class CdcPipeline:
         source: str = "files",                      # 'files' | 'kafka'
         kafka_options: dict[str, str] | None = None,
         maturity: int | None = None,   # event-age gate in LSN units (F5)
+        blacklist=None,  # cdc.blacklist.LearnedBlacklist (F7), opt-in
     ):
         # the rename-resolution layer is specialized to the (repo, path)
         # key (chained-rename split, synthetic-row construction); wiring
@@ -574,6 +607,7 @@ class CdcPipeline:
         self.collect_stats = collect_stats
         self.fanout = fanout
         self.gold = gold
+        self.blacklist = blacklist
         self.batches_applied = 0
         self.batch_results: list[dict] = []
         self.fail_after: int | None = None  # test hook: crash injection
@@ -591,6 +625,7 @@ class CdcPipeline:
             collect_stats=self.collect_stats,
             fanout=self.fanout,
             gold=self.gold,
+            blacklist=self.blacklist,
         )
         if self.gate is not None:
             # pointer swap only after every sink commit above succeeded
@@ -651,6 +686,7 @@ class CdcPipeline:
             collect_stats=self.collect_stats,
             fanout=self.fanout,
             gold=self.gold,
+            blacklist=self.blacklist,
         )
         self.batch_results.append(res)
         return res
@@ -666,4 +702,5 @@ class CdcPipeline:
             collect_stats=self.collect_stats,
             fanout=self.fanout,
             gold=self.gold,
+            blacklist=self.blacklist,
         )

@@ -125,6 +125,10 @@ class GenParams:
     # fact-event fan-out (trade/metadata/comment silver tables):
     # share of events that are fact events rather than repos-table CDC
     p_facts: float = 0.0
+    # fraction of repos that are "bots": EVERY upsert payload they emit
+    # is structurally corrupt (the runtime-learned blacklist target, F7
+    # — analogue of non-NFT code hashes, reference nfts_parser.py:29)
+    p_bot_repos: float = 0.0
     # rename arrival barrier (all writes to the old key arrive before the
     # rename). True = the polite-generator assumption; False = renames
     # jitter like everything else, which REQUIRES the pipeline's runtime
@@ -203,6 +207,11 @@ def generate_events(p: GenParams) -> list[Event]:
         (repos[i % p.n_repos], f"src/hot_{i}.py") for i in range(p.n_hot_keys)
     ]
     hot_set = set(hot_keys)
+    # bot repos: deterministic subset (never hot-key repos)
+    n_bots = int(p.n_repos * p.p_bot_repos)
+    bot_repos = {
+        repos[i] for i in range(p.n_repos - 1, p.n_repos - 1 - n_bots, -1)
+    } - {r for r, _ in hot_keys}
     moved_pool: list[tuple[str, str]] = []  # rename targets -> rename chains
     ddl_positions = {
         int(frac * p.n_events): ddl for frac, ddl in p.ddl_script
@@ -301,6 +310,14 @@ def generate_events(p: GenParams) -> list[Event]:
             moved_pool.append((repo, new_path))
         else:
             op = "u" if key in live else ("r" if u[ci, 3] < 0.1 else "c")
+            if repo in bot_repos:
+                payload = '{"commit": "BOT_CORRUPT_' + str(lsn)  # truncated
+                events.append(
+                    Event(lsn, op, "file_upsert", repo, path, payload,
+                          arrival=lsn + u[ci, 3] * ARRIVAL_JITTER, ts_ms=lsn)
+                )
+                emitted += 1
+                continue
             if u[ci, 4] < p.p_malformed:
                 payload = '{"commit": "CORRUPT'  # truncated JSON
             else:

@@ -80,6 +80,17 @@ def cosine_topk(
     )
 
 
+def _plane_dots(vec_col: str, dim: int, n_planes: int, seed: int):
+    """array<double> of the vector's dot product with each seeded
+    hyperplane (plans are literal arrays -> reproducible everywhere)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    v = F.col(vec_col).cast("array<double>")
+    return F.array(
+        *[_dot(v, F.array(*[F.lit(float(x)) for x in p])) for p in planes]
+    )
+
+
 def hyperplane_signature(
     df: DataFrame,
     vec_col: str,
@@ -88,14 +99,46 @@ def hyperplane_signature(
     seed: int = 42,
 ):
     """Column expression: n_planes-bit random-hyperplane LSH signature."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    dots = _plane_dots(vec_col, dim, n_planes, seed)
     sig = F.lit(0)
     for i in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = (_dot(F.col(vec_col).cast("array<double>"), plane) > 0).cast("int")
+        bit = (F.element_at(dots, i + 1) > 0).cast("int")
         sig = sig + F.shiftleft(bit, i)
     return sig
+
+
+def signature_probes(
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    multiprobe: int,
+):
+    """array of bucket signatures to probe: the exact signature plus
+    `multiprobe` single-bit flips of the LEAST-CONFIDENT bits — the
+    planes with the smallest |dot| margin, where the neighbor most
+    plausibly lies on the other side (classic multi-probe LSH). All
+    column expressions; margins are computed from the same literal
+    planes as the signature."""
+    dots = _plane_dots(vec_col, dim, n_planes, seed)
+    sig = F.lit(0)
+    for i in range(n_planes):
+        sig = sig + F.shiftleft((F.element_at(dots, i + 1) > 0).cast("int"), i)
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda i: F.struct(
+                F.abs(F.element_at(dots, i + 1)).alias("m"), i.alias("i")
+            ),
+        )
+    )
+    probes = [sig]
+    for k in range(min(multiprobe, n_planes)):
+        flip_bit = F.element_at(ranked, k + 1).getField("i")
+        # shiftleft needs a literal shift amount -> 2^bit via pow
+        mask = F.pow(F.lit(2.0), flip_bit).cast("int")
+        probes.append(sig.bitwiseXOR(mask))
+    return F.array(*probes)
 
 
 def ann_lsh_topk(
@@ -118,16 +161,12 @@ def ann_lsh_topk(
         F.col(vec_col).alias("_vv"),
         hyperplane_signature(vectors, vec_col, dim, n_planes, seed).alias("_sig"),
     )
-    qbase = queries.select(
+    qsig = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        hyperplane_signature(queries, vec_col, dim, n_planes, seed).alias("_qsig"),
-    )
-    probes = [F.col("_qsig")] + [
-        F.col("_qsig").bitwiseXOR(F.lit(1 << b)) for b in range(multiprobe)
-    ]
-    qsig = qbase.select(
-        "query_id", "_qv", F.explode(F.array(*probes)).alias("_sig")
+        F.explode(
+            signature_probes(vec_col, dim, n_planes, seed, multiprobe)
+        ).alias("_sig"),
     )
     scored = vsig.join(F.broadcast(qsig), on="_sig").select(
         "query_id",
