@@ -99,22 +99,39 @@ def cdc_event_log() -> tuple[str, int]:
     return log_dir, CDC_EVENTS
 
 
+RUN_TIMEOUT = int(os.environ.get("BENCH_RUN_TIMEOUT", "1800"))
+RUN_RETRIES = int(os.environ.get("BENCH_RUN_RETRIES", "2"))
+
+
 def run_cdc_level(cores: int, log_dir: str) -> dict:
     """One level in an isolated subprocess (fresh JVM; the sandbox host
-    is noisy, so levels never share a process)."""
+    is noisy, so levels never share a process). A run that wedges (this
+    VM sporadically stalls python<->JVM Arrow pipes with the guest
+    fully idle) or crashes is killed at RUN_TIMEOUT and retried — a
+    retry is measurement hygiene, not cherry-picking, because the
+    wedge produces NO number at all."""
     import subprocess
 
     work = os.path.join(CACHE, f"cdc_run_{cores}")
-    proc = subprocess.run(
-        [sys.executable, "-m", "ton_etl_spark.cdc_bench",
-         str(cores), log_dir, work, "2"],
-        capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-    if not line:
-        raise RuntimeError(f"cdc level {cores} failed: {proc.stderr[-2000:]}")
-    return json.loads(line[-1])
+    last_err = ""
+    for attempt in range(RUN_RETRIES + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "ton_etl_spark.cdc_bench",
+                 str(cores), log_dir, work, "2"],
+                capture_output=True, text=True, timeout=RUN_TIMEOUT,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {RUN_TIMEOUT}s"
+            log(f"  local[{cores}] attempt {attempt}: {last_err}, retrying")
+            continue
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if line:
+            return json.loads(line[-1])
+        last_err = proc.stderr[-2000:]
+        log(f"  local[{cores}] attempt {attempt} failed, retrying")
+    raise RuntimeError(f"cdc level {cores} failed: {last_err}")
 
 
 def main():
