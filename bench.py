@@ -38,7 +38,9 @@ CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
 CDC_LEVELS = tuple(
     int(x) for x in os.environ.get("BENCH_CDC_LEVELS", "1,4").split(",")
 )
-CDC_REPEATS = int(os.environ.get("BENCH_CDC_REPEATS", "5"))
+# default 3 repeats keeps a full bench ~35 min (driver-budget-safe);
+# raise to 5+ for tighter medians — BENCH.md retains every run
+CDC_REPEATS = int(os.environ.get("BENCH_CDC_REPEATS", "3"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 HEADLINE = [

@@ -68,16 +68,25 @@ def main() -> None:
     )
     shutil.rmtree(work, ignore_errors=True)
 
-    # warmup: a small replay through a scratch table exercises every
-    # code path (decode, dedup, merge, write) before the clock starts
+    # warmup: a replay through a scratch table exercises every code path
+    # (decode, dedup, merge, write, hot-key sketch) before the clock
+    # starts. Size matters: 5k events left the interpreted-eval +
+    # parquet/zstd hot loops un-JITed, so the first measured batch paid
+    # ~2x its steady-state cost (observed 80s vs 46s at local[4]);
+    # 150k events drives C2 through the same loops first.
+    from ton_etl_spark.cdc.skew import HotKeyMonitor
+
+    wn = int(os.environ.get("BENCH_WARMUP_EVENTS", "150000"))
     wlog = os.path.join(work, "warmup_events")
-    generate_event_log(wlog, GenParams(n_events=5000, n_repos=20, n_files=1))
+    generate_event_log(
+        wlog, GenParams(n_events=wn, n_repos=max(wn // 4000, 20), n_files=1)
+    )
     wtable = LakeTable.create(
         spark, os.path.join(work, "warmup_lake"), REPOS_SCHEMA,
         REPOS_KEY_FIELDS, "lsn", bucket_count=max(cores * 4, 16),
     )
     wev = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(wlog)
-    apply_batch(spark, wtable, wev)
+    apply_batch(spark, wtable, wev, monitor=HotKeyMonitor(REPOS_KEY_FIELDS))
 
     table = LakeTable.create(
         spark, os.path.join(work, "lake"), REPOS_SCHEMA, REPOS_KEY_FIELDS,
@@ -115,7 +124,13 @@ def main() -> None:
     ).collect()[0]
 
     batches = [
-        {"events": r.get("updated_keys", 0), "ms": r["timings"]["total_ms"]}
+        {
+            "events": r.get("updated_keys", 0),
+            "ms": r["timings"]["total_ms"],
+            "stages": r["timings"],
+            "agg_ms": r.get("agg_ms"),
+            "write_ms": r.get("write_ms"),
+        }
         for r in pipe.batch_results
         if not r.get("skipped")
     ]
