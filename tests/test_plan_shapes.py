@@ -1,0 +1,64 @@
+"""Physical-plan shape assertions: the properties that keep the
+operators 100 TB-viable must be visible in `explain`, not just assumed.
+
+  * pure-column kernels (csv_struct, text analysis, simhash) contain NO
+    Python evaluation node — they stay JVM-side;
+  * scans under selective queries carry PushedFilters;
+  * dimension joins in the datamart query broadcast the small side;
+  * the decode UDF appears exactly ONCE in the upsert parse plan (the
+    asNondeterministic de-duplication guard keeps holding).
+"""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_csv_struct_and_text_are_jvm_only(spark):
+    from ton_etl_spark.queries import q_csv_struct, q_text_analyze
+
+    for q in (q_csv_struct, q_text_analyze):
+        plan = plan_of(q(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_is_jvm_only(spark):
+    from ton_etl_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(DD.simhash(docs, "doc_id", "text"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "xxhash64" in plan.lower()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from ton_etl_spark.queries import q_trade_decimal
+
+    plan = plan_of(q_trade_decimal(spark, SF))
+    assert "PushedFilters: [IsNotNull(event_id), LessThan(event_id,2000)]" in plan
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    from ton_etl_spark.queries import q_region_revenue
+
+    plan = plan_of(q_region_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_upsert_decode_udf_evaluated_once(spark):
+    from ton_etl_spark.cdc.parsers import parse_file_upserts
+    from ton_etl_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    ev = spark.createDataFrame([], CHANGE_EVENT_SCHEMA)
+    out = parse_file_upserts(ev).filter(~F.col("_malformed"))
+    plan = optimized_of(out)
+    # one decode for `content`, not re-inlined into the filter
+    assert plan.count("_unpack_zb64") == 1
