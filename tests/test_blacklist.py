@@ -50,18 +50,41 @@ def test_blacklist_learns_bots_and_keeps_parity(spark, tmp_path):
 
 
 def test_blacklist_unit_promotion_rules():
+    from pyspark.sql import functions as F
+
+    malformed = F.lit(True)
     bl = LearnedBlacklist(min_batches=3)
-    # three malformed-only batches promote
-    for _ in range(3):
-        bl.observe(["botA"], [])
+    # three DISTINCT malformed-only batches promote
+    for b in range(3):
+        bl.observe(["botA"], [], batch_id=b)
     assert bl.active == {"botA"}
     # a well-formed sighting exempts forever
-    bl.observe(["repoB"], [])
-    bl.observe(["repoB"], ["repoB"])
-    for _ in range(5):
-        bl.observe(["repoB"], [])
+    bl.observe(["repoB"], [], batch_id=3)
+    bl.observe(["repoB"], ["repoB"], batch_id=4)
+    for b in range(5, 10):
+        bl.observe(["repoB"], [], batch_id=b)
     assert "repoB" not in bl.active
-    # exclusion expr only filters upserts of active repos
-    assert bl.exclusion_expr() is not None
+    # replayed/repeated batch_ids never double-count (ADVICE r2)
+    bl2 = LearnedBlacklist(min_batches=3)
+    for _ in range(10):
+        bl2.observe(["botC"], [], batch_id=7)   # same epoch replayed
+    assert not bl2.active
+    for _ in range(10):
+        bl2.observe(["botC"], [], batch_id=None)  # pending re-flushes
+    assert not bl2.active
+    bl2.observe(["botC"], [], batch_id=8)
+    bl2.observe(["botC"], [], batch_id=9)
+    assert bl2.active == {"botC"}
+    # ...and active repos stay watched: a later ok sighting un-promotes
+    assert "botC" in bl2.watched()
+    bl2.observe([], ["botC"], batch_id=10)
+    assert not bl2.active
+    # binding evidence cap is reported, not silent
+    bl2.observe([], [], batch_id=11, bad_capped=True)
+    assert bl2.cap_hits == 1
+    # exclusion expr only filters known-malformed rows of active repos
+    bl3 = LearnedBlacklist(min_batches=1)
+    bl3.observe(["botD"], [], batch_id=0)
+    assert bl3.exclusion_expr(malformed) is not None
     empty = LearnedBlacklist()
-    assert empty.exclusion_expr() is None
+    assert empty.exclusion_expr(malformed) is None

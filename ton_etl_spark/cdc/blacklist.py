@@ -4,28 +4,35 @@ The reference's NFT parser LEARNS which code hashes are not NFTs (the
 emulator exits 11/32) and stops spending emulator time on them
 (nfts_parser.py:29,35-38,133-138). The analogue here: repos whose
 upsert payloads are ALWAYS structurally malformed ("bot repos" — e.g. a
-mirroring bot pushing garbage) are detected at runtime and their events
-are excluded before the expensive Arrow decode.
+mirroring bot pushing garbage) are detected at runtime and their
+malformed events are excluded before the expensive Arrow decode.
 
-Parity-safety is the design constraint: dropping an event that would
-have decoded fine would corrupt the lake. The promotion rule is
-therefore conservative:
+Parity is guaranteed BY CONSTRUCTION, not by promotion caution: the
+exclusion filter drops only rows that are (a) upserts of an active
+repo AND (b) structurally malformed (unparseable payload JSON) — rows
+the parser would null-and-drop anyway. A well-formed upsert of a
+blacklisted repo always survives, so even a wrong promotion can never
+lose data; the blacklist is purely a decode-work/churn optimization.
+(Round-2's design excluded whole repos and could permanently drop a
+healthy repo's data after an unlucky evidence streak — ADVICE r2.)
+
+Promotion bookkeeping (still conservative, now replay-proof):
 
   * a repo becomes SUSPECT when a batch contains malformed upserts for
-    it and no well-formed ones;
-  * one well-formed upsert, ever, exempts the repo permanently;
-  * a suspect is promoted to the active blacklist only after
-    `min_batches` distinct batches of malformed-only evidence.
+    it; evidence is counted at most once per DISTINCT batch_id, and
+    never for replayed epochs or pending re-flushes (batch_id None);
+  * a well-formed upsert from a suspect or active repo exempts it
+    permanently (active repos keep contributing evidence because the
+    exclusion no longer hides their well-formed rows);
+  * a suspect is promoted only after `min_batches` distinct batches.
 
-A structurally-random 1% malformed rate cannot promote a healthy repo
-(it would need several consecutive batches with >=1 malformed and zero
-well-formed events — probability ~0 for any repo that actually emits
-data). Blacklisted events never carried decodable content, so the final
-table state is byte-identical with the blacklist on or off; the saving
-is decode work and bucket-rewrite churn.
+Evidence collection is bounded (4096 repos per side per batch). When
+the cap binds, the batch reports it (`bl_bad_capped` in the result
+metrics — the "no silent caps" rule) and the direction is safe: slower
+learning, never wrong exclusion.
 
 The per-batch evidence rides the pipeline's existing control-plane
-aggregation (bounded: suspects only), costing zero extra jobs.
+aggregation, costing zero extra jobs.
 """
 
 from __future__ import annotations
@@ -38,38 +45,63 @@ class LearnedBlacklist:
         self.min_batches = min_batches
         self.max_active = max_active
         self._exempt: set[str] = set()
-        self._suspect_batches: dict[str, int] = {}
+        # repo -> (n_distinct_batches, last_counted_batch_id)
+        self._suspect_batches: dict[str, tuple[int, int]] = {}
         self.active: set[str] = set()
         self.skipped_events = 0
+        self.cap_hits = 0
 
     def suspects(self) -> list[str]:
         return sorted(self._suspect_batches)
 
-    def exclusion_expr(self) -> Column | None:
-        """Filter to EXCLUDE blacklisted upserts (None when inactive).
-        The active set is small (it only ever holds always-malformed
-        repos) so an isin literal is fine; swap for a broadcast anti-join
-        past ~10^4 entries."""
+    def watched(self) -> list[str]:
+        """Repos whose well-formed upserts are evidence: suspects (to
+        clear them) and active (to un-promote a wrong call)."""
+        return sorted(set(self._suspect_batches) | self.active)
+
+    def exclusion_expr(self, malformed: Column) -> Column | None:
+        """Filter to EXCLUDE known-malformed rows (None when inactive):
+        upserts of active repos whose payload fails the structural test.
+        `malformed` is the caller's cheap structural predicate (a
+        from_json field probe — NOT the Arrow decode being saved).
+        The active set is small; swap the isin literal for a broadcast
+        join past ~10^4 entries."""
         if not self.active:
             return None
         return ~(
             (F.col("event_type") == "file_upsert")
             & F.col("repo").isin(sorted(self.active))
+            & malformed
         )
 
-    def observe(self, bad_repos: list[str], ok_repos: list[str]) -> None:
+    def observe(
+        self,
+        bad_repos: list[str],
+        ok_repos: list[str],
+        batch_id: int | None,
+        bad_capped: bool = False,
+    ) -> None:
         """Feed one batch's evidence (from the control aggregation):
-        repos with malformed upserts, and repos among current suspects
-        that produced a well-formed upsert."""
+        repos with malformed upserts, and watched repos that produced a
+        well-formed upsert. `batch_id=None` (pending re-flush / ungated
+        replay) applies exemptions but never counts bad evidence."""
         for r in ok_repos or []:
             self._exempt.add(r)
             self._suspect_batches.pop(r, None)
-            self.active.discard(r)  # never triggers if promotion is sound
+            self.active.discard(r)
+        if bad_capped:
+            self.cap_hits += 1
+        if batch_id is None:
+            return
         for r in bad_repos or []:
             if r in self._exempt or r in self.active:
                 continue
-            n = self._suspect_batches.get(r, 0) + 1
-            self._suspect_batches[r] = n
+            n, last = self._suspect_batches.get(r, (0, -1))
+            if batch_id <= last:
+                continue  # same or replayed batch: one count per batch_id
+            n += 1
             if n >= self.min_batches and len(self.active) < self.max_active:
                 self.active.add(r)
-                self._suspect_batches.pop(r)
+                self._suspect_batches.pop(r, None)
+            else:
+                self._suspect_batches[r] = (n, batch_id)

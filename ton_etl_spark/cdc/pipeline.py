@@ -238,6 +238,8 @@ def apply_batch(
     fanout=None,       # cdc.silver.SilverFanout
     gold=None,         # gold.GoldDecayedPrice
     blacklist=None,    # cdc.blacklist.LearnedBlacklist
+    mature_lsn: int | None = None,   # F5 gate cutoff (None+gated: all deferred)
+    gated: bool = False,             # events carry an immature tail to defer
 ) -> dict:
     t0 = time.time()
     timings: dict[str, int] = {}
@@ -247,13 +249,16 @@ def apply_batch(
         return time.time()
 
     m = table.manifest()
-    if batch_id is not None and batch_id <= m["batch_id"]:
+    replayed = batch_id is not None and batch_id <= m["batch_id"]
+    if replayed:
         # replayed epoch. With fan-out attached we cannot short-circuit
         # here: a crash may have landed BETWEEN the main commit and a
         # silver/gold commit, so each downstream table's own batch_id
         # guard must decide (merge_into re-checks and skips the main
         # table); without fan-out the whole batch is a proven no-op.
-        if fanout is None and gold is None:
+        # Gated runs must also continue: the caller needs this batch's
+        # lsn_max_seen/n_immature to recompute the pending store.
+        if fanout is None and gold is None and not gated:
             return {"skipped": True, "batch_id": batch_id}
     # 1. control-plane events (DDL + renames) in ONE small collect —
     #    schema_change events are global barriers in the log (WAL DDL
@@ -268,30 +273,53 @@ def apply_batch(
     is_ctl = F.col("event_type").isin("schema_change", "file_rename")
     is_data = F.col("event_type").isin(*REPO_EVENT_TYPES)
     is_up = (F.col("event_type") == "file_upsert") & F.col("op").isin("c", "r", "u")
+    # F5 maturity gate, fused into the control aggregation: every
+    # evidence/control term below is conditioned on maturity, the
+    # unconditioned max(lsn)/immature count ride the SAME aggregation
+    # (zero extra driver jobs vs. ungated — the r2 design ran a separate
+    # max-LSN probe job per batch), and the data path filters to the
+    # mature side right after the agg.
+    if gated:
+        mature = (
+            F.lit(False)
+            if mature_lsn is None
+            else (F.col("lsn") <= F.lit(mature_lsn))
+        )
+        is_ctl = is_ctl & mature
+        is_data = is_data & mature
+        is_up = is_up & mature
+    else:
+        mature = F.lit(True)
     # structurally malformed: PERMISSIVE from_json yields an all-null
     # struct for corrupt JSON (NOT a null struct), so test the required
     # field — same definition the parser uses for `_malformed`
     bad_json = F.from_json("payload", _UPSERT_WIRE).getField("content_z").isNull()
-    # F7 learned blacklist: exclude known always-malformed repos BEFORE
-    # anything (incl. affected-bucket calc — their buckets never change);
-    # collect this batch's evidence in the same control aggregation
+    # F7 learned blacklist: exclude known-malformed rows (active repos'
+    # structurally-bad upserts — never their well-formed ones, so a
+    # wrong promotion can never lose data) BEFORE anything; collect this
+    # batch's evidence in the same control aggregation
     bl_evidence = []
     if blacklist is not None:
-        excl = blacklist.exclusion_expr()
+        excl = blacklist.exclusion_expr(bad_json)
         if excl is not None:
             events = events.filter(excl)
-        suspects = blacklist.suspects()
+        watched = blacklist.watched()
         bl_evidence = [
             F.slice(
                 F.collect_set(F.when(is_up & bad_json, F.col("repo"))), 1, 4096
             ).alias("_bl_bad"),
+            # exact distinct count rides along so a binding cap is
+            # REPORTED, not silent (bl_bad_capped in the result)
+            F.count_distinct(
+                F.when(is_up & bad_json, F.col("repo"))
+            ).alias("_bl_bad_n"),
             F.slice(
                 F.collect_set(
                     F.when(
-                        is_up & ~bad_json & F.col("repo").isin(suspects),
+                        is_up & ~bad_json & F.col("repo").isin(watched),
                         F.col("repo"),
                     )
-                    if suspects
+                    if watched
                     else F.lit(None).cast("string")
                 ),
                 1,
@@ -324,9 +352,14 @@ def apply_batch(
         F.count(F.when(is_up & bad_json, 1)).alias("n_malformed"),
         *bl_evidence,
         # which event types are present (skips fan-out work per batch)
-        # and the batch-wide max LSN (gold recompute version)
-        F.collect_set("event_type").alias("types"),
-        F.max("lsn").alias("lsn_max_all"),
+        # and the mature-side max LSN (gold recompute version)
+        F.collect_set(F.when(mature, F.col("event_type"))).alias("types"),
+        F.max(F.when(mature, F.col("lsn"))).alias("lsn_max_all"),
+        # gate bookkeeping: batch-wide max (advances the gate's cutoff
+        # for the NEXT batch) and the deferred-row count — same agg,
+        # zero extra jobs
+        F.max("lsn").alias("_lsn_max_seen"),
+        F.count(F.when(~mature, F.lit(1))).alias("_n_immature"),
         F.collect_list(
             F.when(
                 is_ctl,
@@ -349,11 +382,19 @@ def apply_batch(
         ).alias("ctl"),
     ).collect()[0]
     ctl = row0["ctl"]
+    bl_capped = False
     if blacklist is not None:
+        bl_capped = (row0["_bl_bad_n"] or 0) > 4096
         blacklist.observe(
             [r for r in (row0["_bl_bad"] or []) if r],
             [r for r in (row0["_bl_ok"] or []) if r],
+            # replayed epochs / ungated pending re-flushes must not
+            # re-count the same malformed-only evidence (ADVICE r2)
+            None if replayed else batch_id,
+            bad_capped=bl_capped,
         )
+    if gated:
+        events = events.filter(mature)
     ddl = [
         {**json.loads(r["payload"]), "lsn": r["lsn"]}
         for r in ctl
@@ -451,6 +492,8 @@ def apply_batch(
             "n_renames": len(ren),
             "n_chained_renames": n_chained,
         }
+        if blacklist is not None:
+            stats["bl_bad_capped"] = bl_capped
         t = mark("stats_ms", t)
 
     result = merge_into(
@@ -473,6 +516,9 @@ def apply_batch(
     mark("merge_ms", t)
     timings["total_ms"] = int((time.time() - t0) * 1000)
     result.update(ddl=applied_ddl, salt=salt, timings=timings, **stats)
+    if gated:
+        result["lsn_max_seen"] = row0["_lsn_max_seen"]
+        result["n_immature"] = row0["_n_immature"]
     return result
 
 
@@ -490,12 +536,22 @@ class _MaturityGate:
     old key's latest pre-rename write) resolve correctly even when the
     upstream is NOT polite about per-key arrival barriers.
 
+    Zero probe jobs: the cutoff uses the max LSN AS OF THE PREVIOUS
+    commit, persisted as a number in the pointer file, and each batch's
+    new max rides the pipeline's control aggregation. A lagged cutoff is
+    strictly MORE conservative (defers more), so the completeness
+    invariant holds; the one-batch lag drains at end-of-log via
+    flush_pending. (The r2 design ran a dedicated max-LSN collect per
+    batch — one extra serial driver job per batch.)
+
     Deferred events live in a tiny parquet pending store next to the
-    checkpoint, advanced by an atomic pointer swap AFTER the sink
-    commits. Replay-safe: the split is a deterministic function of
-    (incoming ∪ pending), and a replayed epoch recomputes the identical
-    pending state (the mature side is absorbed by the merge's batch_id /
-    LSN guards).
+    checkpoint, advanced by an atomic JSON pointer swap
+    ({tag, max_seen, n_pending}) AFTER the sink commits; superseded
+    pending version dirs are garbage-collected on each swap. Replay-safe:
+    the split is a deterministic function of (incoming ∪ pending,
+    persisted max_seen), and a replayed epoch recomputes a pending state
+    whose applied complement is absorbed by the merge's batch_id / LSN
+    guards.
     """
 
     def __init__(self, spark: SparkSession, state_dir: str, maturity: int):
@@ -506,61 +562,91 @@ class _MaturityGate:
         self.maturity = maturity
         os.makedirs(state_dir, exist_ok=True)
 
-    def _pointer(self) -> str | None:
+    def _meta(self) -> dict:
         import os
 
         p = os.path.join(self.dir, "_current")
         if not os.path.exists(p):
-            return None
+            return {
+                "tag": None, "max_seen": None, "n_pending": 0,
+                "batch_id": None, "cutoff_used": None,
+            }
         with open(p) as f:
-            tag = f.read().strip()
-        return os.path.join(self.dir, tag) if tag else None
+            return json.loads(f.read())
+
+    def max_seen(self) -> int | None:
+        return self._meta()["max_seen"]
+
+    def n_pending(self) -> int:
+        return self._meta()["n_pending"]
+
+    def cutoff(self) -> int | None:
+        """Mature iff lsn <= cutoff; None = nothing certified yet."""
+        mx = self.max_seen()
+        return None if mx is None else mx - self.maturity
 
     def read_pending(self) -> DataFrame | None:
-        path = self._pointer()
-        if path is None:
+        import os
+
+        meta = self._meta()
+        if meta["tag"] is None or meta["n_pending"] == 0:
             return None
-        df = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(path)
-        return df
+        path = os.path.join(self.dir, meta["tag"])
+        return self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(path)
 
-    def split(self, incoming: DataFrame):
-        """-> (all_events persisted, mature, immature). Cutoff =
-        max(lsn over incoming ∪ pending) - maturity, which is stable
-        under replay (the max element is always immature, hence in
-        pending, hence preserved)."""
-        pend = self.read_pending()
-        allev = incoming if pend is None else incoming.unionByName(pend)
-        allev = allev.persist()
-        mx = allev.agg(F.max("lsn").alias("m")).collect()[0]["m"]
-        if mx is None:
-            return allev, allev, None
-        cutoff = mx - self.maturity
-        return (
-            allev,
-            allev.filter(F.col("lsn") <= cutoff),
-            allev.filter(F.col("lsn") > cutoff),
-        )
-
-    def commit(self, immature: DataFrame | None, batch_id: int) -> None:
+    def commit(
+        self,
+        immature: DataFrame | None,
+        batch_id,
+        max_seen: int | None,
+        n_pending: int,
+        cutoff_used: int | None = None,
+    ) -> None:
         """Persist the deferred set and swap the pointer (AFTER the sink
         committed the mature set — the pointer swap is the gate's own
-        commit point)."""
+        commit point). `batch_id`/`cutoff_used` make the split
+        replay-deterministic: a replayed epoch whose gate commit already
+        landed must re-split with the SAME cutoff, not the advanced one
+        (otherwise newly-mature events are both merge-skipped by the
+        batch_id guard and dropped from pending — lost). Superseded v*
+        dirs are GC'd after the swap."""
         import os
+        import shutil
         import uuid
 
-        tag = f"v{batch_id}"
-        out = os.path.join(self.dir, tag)
-        if immature is not None:
-            immature.write.mode("overwrite").parquet(out)
-        else:
-            self.spark.createDataFrame([], CHANGE_EVENT_SCHEMA).write.mode(
-                "overwrite"
-            ).parquet(out)
+        tag = None
+        if immature is not None and n_pending > 0:
+            tag = f"v{batch_id}"
+            immature.write.mode("overwrite").parquet(os.path.join(self.dir, tag))
         ptr = os.path.join(self.dir, "_current")
         tmp = ptr + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            f.write(tag)
+            f.write(json.dumps(
+                {
+                    "tag": tag, "max_seen": max_seen, "n_pending": n_pending,
+                    "batch_id": batch_id, "cutoff_used": cutoff_used,
+                }
+            ))
         os.replace(tmp, ptr)
+        for name in os.listdir(self.dir):
+            if name.startswith("v") and name != tag:
+                shutil.rmtree(os.path.join(self.dir, name), ignore_errors=True)
+
+    def cutoff_for_batch(self, batch_id: int) -> int | None:
+        """The cutoff to split this epoch with: the persisted cutoff if
+        this exact epoch's gate commit already landed (replay after a
+        crash between gate commit and checkpoint commit), else the
+        current max_seen - maturity."""
+        meta = self._meta()
+        if meta.get("batch_id") == batch_id:
+            return meta.get("cutoff_used")
+        return self.cutoff()
+
+    def clear(self) -> None:
+        """Empty the pending store after a successful end-of-log flush,
+        keeping max_seen (a repeated availableNow run must not re-apply
+        the drained set — ADVICE r2)."""
+        self.commit(None, None, self.max_seen(), 0)
 
 
 class CdcPipeline:
@@ -613,9 +699,13 @@ class CdcPipeline:
         self.fail_after: int | None = None  # test hook: crash injection
 
     def _handle(self, batch_df: DataFrame, batch_id: int) -> None:
-        allev = immature = None
+        allev = cutoff = None
         if self.gate is not None:
-            allev, batch_df, immature = self.gate.split(batch_df)
+            pend = self.gate.read_pending()
+            allev = batch_df if pend is None else batch_df.unionByName(pend)
+            allev = allev.persist()
+            cutoff = self.gate.cutoff_for_batch(batch_id)
+            batch_df = allev
         res = apply_batch(
             self.spark,
             self.table,
@@ -626,10 +716,28 @@ class CdcPipeline:
             fanout=self.fanout,
             gold=self.gold,
             blacklist=self.blacklist,
+            mature_lsn=cutoff,
+            gated=self.gate is not None,
         )
         if self.gate is not None:
             # pointer swap only after every sink commit above succeeded
-            self.gate.commit(immature, batch_id)
+            n_imm = res.get("n_immature") or 0
+            immature = (
+                allev.filter(F.col("lsn") > F.lit(cutoff))
+                if cutoff is not None
+                else allev
+            )
+            seen = [
+                x for x in (self.gate.max_seen(), res.get("lsn_max_seen"))
+                if x is not None
+            ]
+            self.gate.commit(
+                immature if n_imm > 0 else None,
+                batch_id,
+                max(seen) if seen else None,
+                n_imm,
+                cutoff_used=cutoff,
+            )
             allev.unpersist()
         self.batch_results.append(res)
         self.batches_applied += 1
@@ -670,9 +778,11 @@ class CdcPipeline:
     def flush_pending(self) -> dict | None:
         """Drain the maturity gate's deferred events at end-of-log
         (availableNow replay). Applied WITHOUT a batch_id: the merge's
-        LSN guards + in-batch dedup make a repeated flush a no-op, so
-        resume-then-reflush is safe."""
-        if self.gate is None:
+        LSN guards + in-batch dedup make a repeated flush a no-op, so a
+        crash between apply and clear() is safe — and after the clear, a
+        repeated availableNow run skips the flush entirely with zero
+        jobs (n_pending lives in the pointer file)."""
+        if self.gate is None or self.gate.n_pending() == 0:
             return None
         pend = self.gate.read_pending()
         if pend is None:
@@ -688,6 +798,7 @@ class CdcPipeline:
             gold=self.gold,
             blacklist=self.blacklist,
         )
+        self.gate.clear()
         self.batch_results.append(res)
         return res
 

@@ -160,11 +160,22 @@ class SilverSpec:
     schema: T.StructType
     key_fields: list[str]
     parse: Callable[[DataFrame], DataFrame]
+    # E8: optional enrichment hook — a callable producing the uri Column
+    # to resolve for each parsed row. Active only when the fanout is
+    # constructed with resolvers; the stage degrades NonCritically
+    # (failures set enrich_error, never drop the row — reference
+    # jetton_metadata.py:39-65 fallback-chain semantics).
+    enrich_uri: Callable[[], "F.Column"] | None = None
 
 
 SILVER_SPECS = [
     SilverSpec("trades", "trade_event", TRADES_SCHEMA, ["trade_id"], parse_trades),
-    SilverSpec("metadata", "metadata_event", METADATA_SCHEMA, ["repo"], parse_metadata),
+    SilverSpec(
+        "metadata", "metadata_event", METADATA_SCHEMA, ["repo"], parse_metadata,
+        enrich_uri=lambda: F.concat(
+            F.lit("ipfs://"), F.col("sources").getField("image")
+        ),
+    ),
     SilverSpec("comments", "comment_event", COMMENTS_SCHEMA, ["comment_id"], parse_comments),
 ]
 
@@ -180,15 +191,24 @@ class SilverFanout:
         root: str,
         specs: list[SilverSpec] | None = None,
         bucket_count: int = 8,
+        enrich_resolvers=None,   # list[(name, Resolver)] -> E8 stage ON
+        enrich_retries: int = 2,
     ):
+        from ..operators.enrichment import ENRICHED_FIELDS
+
         self.spark = spark
         self.specs = specs or SILVER_SPECS
+        self.enrich_resolvers = enrich_resolvers
+        self.enrich_retries = enrich_retries
         self.tables: dict[str, LakeTable] = {}
         for s in self.specs:
+            schema = s.schema
+            if enrich_resolvers is not None and s.enrich_uri is not None:
+                schema = T.StructType(list(schema.fields) + ENRICHED_FIELDS)
             path = f"{root}/{s.name}"
             try:
                 self.tables[s.name] = LakeTable.create(
-                    spark, path, s.schema, s.key_fields, "lsn",
+                    spark, path, schema, s.key_fields, "lsn",
                     bucket_count=bucket_count,
                 )
             except FileExistsError:
@@ -200,12 +220,22 @@ class SilverFanout:
         batch_id: int | None,
         types_present: set[str] | None = None,
     ) -> dict:
+        from ..operators.enrichment import enrich
+
         out = {}
         for s in self.specs:
             if types_present is not None and s.event_type not in types_present:
                 continue  # zero jobs for absent event types
             sub = events.filter(F.col("event_type") == s.event_type)
+            parsed = s.parse(sub)
+            if self.enrich_resolvers is not None and s.enrich_uri is not None:
+                parsed = enrich(
+                    parsed.withColumn("_uri", s.enrich_uri()),
+                    "_uri",
+                    resolvers=self.enrich_resolvers,
+                    retries=self.enrich_retries,
+                ).drop("_uri")
             out[s.name] = merge_into(
-                self.tables[s.name], s.parse(sub), batch_id=batch_id
+                self.tables[s.name], parsed, batch_id=batch_id
             )
         return out

@@ -25,7 +25,14 @@ def _norm(v):
     if isinstance(v, bool):
         return "t" if v else "f"
     if isinstance(v, Decimal):
-        v = float(v)
+        # Exact normalization: a float round-trip collapses anything past
+        # ~9 significant digits, which masked the Decimal(38,0) driver
+        # mismatch in round 2 (VERDICT r2 "What's wrong" #2). Integral
+        # decimals render as plain ints; fractional ones as the exact
+        # normalized string.
+        if v == v.to_integral_value():
+            return str(int(v))
+        return str(v.normalize())
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -339,15 +339,37 @@ class LakeTable:
             .count()
             .collect()
         )
-        by_file = {r["_f"]: r["count"] for r in rows}
+        # normalize BOTH sides to a scheme-less absolute path:
+        # input_file_name() renders URIs differently across filesystems
+        # ('file:/', 'file:///', 'hdfs://nn/', 's3a://bucket/'); matching
+        # raw strings silently zeroed counts on any other rendering,
+        # corrupting manifest stats (ADVICE r2)
+        from urllib.parse import urlparse
 
-        def lookup(p: str) -> int:
-            full = "file://" + os.path.abspath(os.path.join(self.root, p))
-            return by_file.get(full, by_file.get(os.path.join(self.root, p), 0))
+        def norm(u: str) -> str:
+            parsed = urlparse(u)
+            return parsed.path if parsed.scheme else u
 
-        return {
-            b: sum(lookup(p) for p in files) for b, files in file_map.items()
-        }
+        by_file = {norm(r["_f"]): r["count"] for r in rows}
+        counted: dict[str, int] = {}
+        missing: list[str] = []
+        for b, files in file_map.items():
+            total = 0
+            for p in files:
+                full = norm(os.path.abspath(os.path.join(self.root, p)))
+                if full in by_file:
+                    total += by_file[full]
+                else:
+                    missing.append(p)
+            counted[b] = total
+        if missing:
+            # a written file absent from the counted scan is a real
+            # inconsistency — fail loudly instead of recording 0 rows
+            raise RuntimeError(
+                f"bucket row-count scan missed {len(missing)} written "
+                f"file(s), e.g. {missing[:3]}"
+            )
+        return counted
 
     # -- maintenance -----------------------------------------------------------
 

@@ -153,23 +153,45 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signature from the vote signs. Replaces a per-token Python blake2b
     loop that was the slowest kernel in the repo. Deterministic across
     runs and parallelism levels (xxhash64 is seeded, votes are sums)."""
-    ex = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("_t"))
-    h = F.xxhash64(F.col("_t"))
-    bit = lambda i: F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))  # noqa: E731
-    votes = ex.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"_v{i}")
-            for i in range(64)
-        ]
+    # Null-text docs must still get a signature (the old kernel's
+    # behavior); a null token array would explode to zero rows and the
+    # document would silently vanish from the output.
+    toks = F.coalesce(_tokens(text_col), F.array(F.lit("")))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
+        F.col(id_col), F.xxhash64(F.col("_t")).alias("_h")
     )
+    # Packed bit-vote lanes: 64 separate sum buffers push the aggregate
+    # past the whole-stage-codegen field limit (the plan falls back to
+    # interpreted eval — the r2 5.0 s regression was almost entirely that
+    # compile/interpret overhead). Pack the per-bit ones-counts into 32
+    # longs of two 32-bit lanes (lane capacity 2^31 occurrences per doc —
+    # unreachable) plus one total-count buffer: 33 buffers keeps codegen
+    # alive and a single shuffle on id. Bit i of the signature is set iff
+    # ones_i > n/2, i.e. 2*ones_i - n > 0 — the exact vote rule.
+    bit = lambda i: F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1))  # noqa: E731
+    votes = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(bit(2 * j) + bit(2 * j + 1) * F.lit(4294967296)).alias(f"_p{j}")
+            for j in range(32)
+        ],
+    )
+
+    def ones(i):
+        lane = F.col(f"_p{i // 2}")
+        if i % 2:
+            lane = F.shiftrightunsigned(lane, 32)
+        return lane.bitwiseAND(F.lit(4294967295))
+
+    n = F.col("_n")
     sig = F.lit(0).cast("long")
     for i in range(63):
-        sig = sig + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        sig = sig + F.when(
+            ones(i) * 2 > n, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     # bit 63 would overflow a positive long literal: add Long.MIN_VALUE
     sig = sig + F.when(
-        F.col("_v63") > 0, F.lit(-9223372036854775808)
+        ones(63) * 2 > n, F.lit(-9223372036854775808)
     ).otherwise(F.lit(0).cast("long"))
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
@@ -182,15 +204,14 @@ def _simhash_blocks(sig, n_blocks: int):
     out, start = [], 0
     for i in range(n_blocks):
         width = base + (1 if i < extra else 0)
-        mask = (1 << width) - 1
-        out.append(
-            F.struct(
-                F.lit(i).alias("block"),
-                F.shiftrightunsigned(sig, start)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-        )
+        if width >= 64:
+            # n_blocks=1 (max_hamming=0): the "block" is the whole
+            # signature — (1<<64)-1 would overflow LongType at plan time.
+            val = sig
+        else:
+            mask = (1 << width) - 1
+            val = F.shiftrightunsigned(sig, start).bitwiseAND(F.lit(mask))
+        out.append(F.struct(F.lit(i).alias("block"), val.alias("val")))
         start += width
     return F.array(*out)
 

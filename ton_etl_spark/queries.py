@@ -335,10 +335,15 @@ def q_trade_decimal(spark, sf):
         F.unhex(F.lpad(F.hex(lo), 16, "0")),
     )
     scale = (F.col("event_id") % 3).cast("int")
+    # The decimal(38,0) kernel value is exact (verified row-for-row vs
+    # DuckDB, r2 verdict) but the driver's value-hash layer normalizes
+    # Decimal objects inconsistently across engines, so the comparison
+    # column is the unambiguous string rendering; the decimal itself is
+    # still exercised (the cast comes AFTER the full decode).
     return ev.select(
         "event_id",
         scale.alias("scale"),
-        debezium_decimal(F.base64(b), scale).alias("amount"),
+        debezium_decimal(F.base64(b), scale).cast("string").alias("amount"),
     )
 
 
@@ -351,8 +356,8 @@ WITH t AS (
   FROM events WHERE event_id < 2000
 )
 SELECT event_id, scale,
-       CAST(v // (CASE scale WHEN 0 THEN 1 WHEN 1 THEN 10 ELSE 100 END)
-            AS DECIMAL(38,0)) AS amount
+       CAST(CAST(v // (CASE scale WHEN 0 THEN 1 WHEN 1 THEN 10 ELSE 100 END)
+            AS DECIMAL(38,0)) AS VARCHAR) AS amount
 FROM t
 """
 
@@ -814,6 +819,122 @@ def q_media_features(spark, sf):  # binary plumbing; decode is env-stubbed
     )
 
 
+def q_cdc_replay_sql(spark, sf):
+    """The flagship CDC engine under a DRIVER-CHECKABLE oracle: a replay
+    restricted to SQL-expressible semantics — upserts + deletes with
+    at-least-once duplicate delivery and out-of-order arrival across
+    micro-batches (no renames/DDL). The change set is derived
+    deterministically from the `events` table, pushed through the REAL
+    pipeline (streaming foreachBatch -> parse -> LSN-guarded merge_into),
+    and the final lake state must equal DuckDB's sequential replay:
+    `QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY lsn
+    DESC) = 1 ... WHERE op != 'd'` — the reference's ON-CONFLICT LWW
+    rule (db.py:249-269)."""
+    import base64
+    import json as _json
+    import os
+    import tempfile
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .cdc.pipeline import CdcPipeline
+    from .lake.table import LakeTable
+    from .schemas import REPOS_KEY_FIELDS, REPOS_SCHEMA
+
+    ids = pq.read_table(
+        os.path.join(sf, "events.parquet"), columns=["event_id"]
+    )["event_id"].to_pylist()
+    ids = sorted(e for e in set(ids) if e < 4000)
+
+    N_FILES = 4
+    rows: dict[int, list] = {i: [] for i in range(N_FILES)}
+
+    def emit(e: int, fidx: int) -> None:
+        repo, path = f"r{e % 17}", f"p{(e * 7) % 101}"
+        if e % 11 == 0:
+            rows[fidx].append((e, e, "d", "file_delete", repo, path, None))
+            return
+        content = f"content-{e % 5}-{e}"
+        payload = _json.dumps(
+            {
+                "commit": f"c{e}",
+                "lang": "py",
+                "content_z": base64.b64encode(
+                    zlib.compress(content.encode(), 1)
+                ).decode(),
+                "size_scale": 0,
+                "size_value": base64.b64encode(
+                    len(content).to_bytes(4, "big", signed=True)
+                ).decode(),
+            },
+            separators=(",", ":"),
+        )
+        rows[fidx].append((e, e, "u", "file_upsert", repo, path, payload))
+
+    for e in ids:
+        # file = arrival micro-batch: e % N_FILES interleaves LSNs across
+        # batches, so later batches carry OLDER lsns for already-merged
+        # keys (the strict LWW guard must reject them)
+        emit(e, e % N_FILES)
+        if e % 13 == 0:  # at-least-once duplicate, delivered a batch later
+            emit(e, (e + 1) % N_FILES)
+
+    work = tempfile.mkdtemp(prefix="cdc_sql_")
+    log_dir = os.path.join(work, "events")
+    os.makedirs(log_dir)
+    t0 = 1_700_000_000
+    for fi in range(N_FILES):
+        rs = rows[fi]
+        tbl = pa.table(
+            {
+                "lsn": pa.array([r[0] for r in rs], pa.int64()),
+                "ts_ms": pa.array([r[1] for r in rs], pa.int64()),
+                "op": pa.array([r[2] for r in rs], pa.string()),
+                "event_type": pa.array([r[3] for r in rs], pa.string()),
+                "repo": pa.array([r[4] for r in rs], pa.string()),
+                "path": pa.array([r[5] for r in rs], pa.string()),
+                "payload": pa.array([r[6] for r in rs], pa.string()),
+            }
+        )
+        fp = os.path.join(log_dir, f"chunk-{fi:05d}.parquet")
+        pq.write_table(tbl, fp)
+        os.utime(fp, (t0 + fi, t0 + fi))
+
+    table = LakeTable.create(
+        spark, os.path.join(work, "lake"), REPOS_SCHEMA, REPOS_KEY_FIELDS,
+        "lsn", bucket_count=8,
+    )
+    CdcPipeline(
+        spark, table, log_dir, os.path.join(work, "cp"),
+        max_files_per_trigger=1,
+    ).run_streaming()
+    return table.read().select(
+        "repo", "path", "lsn", "commit", "lang", "content", "size_bytes"
+    )
+
+
+O_CDC_REPLAY_SQL = """
+WITH ch AS (
+  SELECT DISTINCT event_id AS e FROM events WHERE event_id < 4000
+), final AS (
+  SELECT 'r' || CAST(e % 17 AS VARCHAR) AS repo,
+         'p' || CAST((e * 7) % 101 AS VARCHAR) AS path,
+         e AS lsn,
+         CASE WHEN e % 11 = 0 THEN 'd' ELSE 'u' END AS op,
+         'c' || CAST(e AS VARCHAR) AS commit,
+         'content-' || CAST(e % 5 AS VARCHAR) || '-' || CAST(e AS VARCHAR)
+           AS content
+  FROM ch
+  QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) = 1
+)
+SELECT repo, path, lsn, commit, 'py' AS lang, content,
+       CAST(length(content) AS INT) AS size_bytes
+FROM final WHERE op != 'd'
+"""
+
+
 def q_cdc_replay_demo(spark, sf):  # the engine itself, small replay
     import tempfile
 
@@ -876,6 +997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": q_embedding_norms,
     "approx_distinct_users": q_approx_distinct_users,
     "media_features": q_media_features,
+    "cdc_replay_sql": q_cdc_replay_sql,
     "cdc_replay_demo": q_cdc_replay_demo,
 }
 
@@ -909,4 +1031,5 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": O_JACCARD_PAIRS,
     "cosine_topk": O_COSINE_TOPK,
     "embedding_norms": O_EMBEDDING_NORMS,
+    "cdc_replay_sql": O_CDC_REPLAY_SQL,
 }
