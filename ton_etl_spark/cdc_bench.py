@@ -138,6 +138,8 @@ def main() -> None:
     warm = batches[1:] if len(batches) > 1 else batches
     warm_events = sum(b["events"] for b in warm)
     warm_ms = sum(b["ms"] for b in warm)
+    for b in batches:
+        b["rate"] = round(b["events"] / (b["ms"] / 1000.0), 1) if b["ms"] else None
     out = {
         "cores": cores,
         "wall_s": round(wall, 2),
