@@ -136,7 +136,10 @@ def run_cdc_level(cores: int, log_dir: str) -> dict:
         if line:
             return json.loads(line[-1])
         last_err = proc.stderr[-2000:]
-        log(f"  local[{cores}] attempt {attempt} failed, retrying")
+        log(f"  local[{cores}] attempt {attempt} failed "
+            f"(rc={proc.returncode}), retrying; stderr tail:")
+        for ln in proc.stderr.strip().splitlines()[-6:]:
+            log(f"    {ln}")
     raise RuntimeError(f"cdc level {cores} failed: {last_err}")
 
 

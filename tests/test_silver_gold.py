@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ton_etl_spark.cdc.pipeline import CdcPipeline, apply_batch
 from ton_etl_spark.cdc.silver import SilverFanout
 from ton_etl_spark.datagen import GenParams, generate_events, write_event_log
-from ton_etl_spark.gold import GoldDecayedPrice
+from ton_etl_spark.gold import GoldAssetTvl, GoldDecayedPrice
 from ton_etl_spark.lake.table import LakeTable
 from ton_etl_spark.schemas import CHANGE_EVENT_SCHEMA, REPOS_KEY_FIELDS, REPOS_SCHEMA
 
@@ -68,28 +68,31 @@ def pipeline_run(spark, tmp_path_factory):
         except FileExistsError:
             table = LakeTable(spark, str(tmp / "lake"))
         fanout = SilverFanout(spark, str(tmp / "silver"))
-        gold = GoldDecayedPrice(
-            spark, str(tmp / "gold"), fanout.tables["trades"], window_s=600
-        )
-        return table, fanout, gold
+        golds = [
+            GoldDecayedPrice(
+                spark, str(tmp / "gold"), fanout.tables["trades"], window_s=600
+            ),
+            GoldAssetTvl(spark, str(tmp / "gold_tvl"), fanout.tables["trades"]),
+        ]
+        return table, fanout, golds
 
-    table, fanout, gold = build()
+    table, fanout, golds = build()
     pipe = CdcPipeline(
         spark, table, log_dir, str(tmp / "cp"), max_files_per_trigger=2,
-        fanout=fanout, gold=gold,
+        fanout=fanout, gold=golds,
     )
     pipe.fail_after = 2  # crash after 2 micro-batches (post-commit)
     with pytest.raises(Exception):
         pipe.run_streaming()
 
     # resume from checkpoint with freshly constructed objects
-    table, fanout, gold = build()
+    table, fanout, golds = build()
     pipe2 = CdcPipeline(
         spark, table, log_dir, str(tmp / "cp"), max_files_per_trigger=2,
-        fanout=fanout, gold=gold,
+        fanout=fanout, gold=golds,
     )
     pipe2.run_streaming()
-    return events, table, fanout, gold
+    return events, table, fanout, golds
 
 
 def test_trades_match_oracle_incl_bigint_amounts(spark, pipeline_run):
@@ -133,7 +136,7 @@ def test_comments_decoded(spark, pipeline_run):
 
 
 def test_gold_matches_full_recompute_after_resume(spark, pipeline_run):
-    _, _, _, gold = pipeline_run
+    _, _, _, (gold, _) = pipeline_run
 
     def snap(df):
         return {
@@ -182,3 +185,58 @@ def test_crash_between_main_and_silver_commits_heals(spark, tmp_path):
     assert table.current_version() == v_main
     assert fanout.tables["trades"].current_version() == v_silver
     assert res2["silver"]["trades"].get("skipped")
+
+
+def test_asset_tvl_matches_full_recompute_after_resume(spark, pipeline_run):
+    """The second continuously-maintained gold table (dex_pool TVL
+    analogue): the incrementally maintained per-asset TVL must equal a
+    full batch recompute from silver even across the kill/resume in the
+    fixture. Relative tolerance: partial-aggregation order of the
+    double sum is nondeterministic."""
+    events, _, fanout, (_, tvl) = pipeline_run
+    incremental = {
+        r["asset"]: (r["tvl"], r["n_trades"])
+        for r in tvl.table.read().collect()
+    }
+    recomputed = {
+        r["asset"]: (r["tvl"], r["n_trades"])
+        for r in tvl.full_recompute().collect()
+    }
+    assert set(incremental) == set(recomputed)
+    for a, (v, n) in recomputed.items():
+        got = incremental[a]
+        assert got[0] == pytest.approx(v, rel=1e-9) and got[1] == n
+    assert len(incremental) > 3
+
+    # ...and against the sequential Python oracle
+    trades, _, _ = fact_oracle(events)
+    expect: dict[str, float] = {}
+    for _, (asset, _, amount, price) in trades.items():
+        expect[asset] = expect.get(asset, 0.0) + float(amount) * price
+    assert set(expect) == set(incremental)
+    for a, v in expect.items():
+        assert incremental[a][0] == pytest.approx(v, rel=1e-6)
+
+
+def test_top_tokens_by_tvl(spark, pipeline_run):
+    """Reference README.md:253-257: dex_pool_link JOIN dex_pool
+    GROUP BY token ORDER BY tvl DESC LIMIT k, over the maintained
+    tables."""
+    events, _, fanout, (_, tvl) = pipeline_run
+    top = tvl.top_tokens(fanout.tables["metadata"], k=5).collect()
+    assert 0 < len(top) <= 5
+    vals = [r["total_tvl"] for r in top]
+    assert vals == sorted(vals, reverse=True)
+
+    trades, meta, _ = fact_oracle(events)
+    by_asset: dict[str, float] = {}
+    for _, (asset, _, amount, price) in trades.items():
+        by_asset[asset] = by_asset.get(asset, 0.0) + float(amount) * price
+    by_sym: dict[str, float] = {}
+    for repo, (_, _, symbol, _) in meta.items():
+        if repo in by_asset and by_asset[repo] > 0:
+            by_sym[symbol] = by_sym.get(symbol, 0.0) + by_asset[repo]
+    expect = sorted(by_sym.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["symbol"] for r in top] == [s for s, _ in expect]
+    for r, (_, v) in zip(top, expect):
+        assert r["total_tvl"] == pytest.approx(v, rel=1e-6)

@@ -57,8 +57,9 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--silver", default=None,
                            help="root dir for silver fan-out tables")
             s.add_argument("--gold", default=None,
-                           help="dir for the gold decayed-price table "
-                                "(requires --silver)")
+                           help="root dir for the gold tables "
+                                "(decayed_price + asset_tvl; requires "
+                                "--silver)")
 
     sh = sub.add_parser("show")
     sh.add_argument("--lake", required=True)
@@ -115,11 +116,18 @@ def main(argv: list[str] | None = None) -> int:
 
             fanout = SilverFanout(spark, args.silver)
             if getattr(args, "gold", None):
-                from .gold import GoldDecayedPrice
+                from .gold import GoldAssetTvl, GoldDecayedPrice
 
-                gold = GoldDecayedPrice(
-                    spark, args.gold, fanout.tables["trades"]
-                )
+                gold = [
+                    GoldDecayedPrice(
+                        spark, args.gold + "/decayed_price",
+                        fanout.tables["trades"],
+                    ),
+                    GoldAssetTvl(
+                        spark, args.gold + "/asset_tvl",
+                        fanout.tables["trades"],
+                    ),
+                ]
         kafka_opts = None
         if getattr(args, "source", "files") == "kafka":
             from .cdc.kafka_io import kafka_source_options

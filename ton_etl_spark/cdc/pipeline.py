@@ -236,7 +236,7 @@ def apply_batch(
     monitor: HotKeyMonitor | None = None,
     collect_stats: bool = True,
     fanout=None,       # cdc.silver.SilverFanout
-    gold=None,         # gold.GoldDecayedPrice
+    gold=None,         # gold maintainer (GoldDecayedPrice/GoldAssetTvl) or list
     blacklist=None,    # cdc.blacklist.LearnedBlacklist
     mature_lsn: int | None = None,   # F5 gate cutoff (None+gated: all deferred)
     gated: bool = False,             # events carry an immature tail to defer
@@ -508,10 +508,17 @@ def apply_batch(
         result["silver"] = fanout.apply(
             events, batch_id=batch_id, types_present=types_present
         )
-    if gold is not None and "trade_event" in types_present:
-        result["gold"] = gold.update(
-            events, batch_id=batch_id, lsn_max=row0["lsn_max_all"]
-        )
+    golds = (
+        list(gold) if isinstance(gold, (list, tuple))
+        else ([gold] if gold is not None else [])
+    )
+    gres = {
+        g.name: g.update(events, batch_id=batch_id, lsn_max=row0["lsn_max_all"])
+        for g in golds
+        if types_present & set(g.trigger_types)
+    }
+    if gres:
+        result["gold"] = gres
 
     mark("merge_ms", t)
     timings["total_ms"] = int((time.time() - t0) * 1000)
@@ -662,7 +669,7 @@ class CdcPipeline:
         salt: int = 16,
         collect_stats: bool = True,
         fanout=None,   # cdc.silver.SilverFanout
-        gold=None,     # gold.GoldDecayedPrice
+        gold=None,     # gold maintainer or list of maintainers
         source: str = "files",                      # 'files' | 'kafka'
         kafka_options: dict[str, str] | None = None,
         maturity: int | None = None,   # event-age gate in LSN units (F5)
@@ -803,6 +810,20 @@ class CdcPipeline:
         return res
 
     def run_batch(self) -> dict:
+        # one-shot batch replay reads the parquet log directly and
+        # applies everything in a single ungated pass — a Kafka source
+        # or a maturity gate would be silently ignored, so reject the
+        # combination instead (use run_streaming for both; ADVICE r2)
+        if self.source != "files":
+            raise ValueError(
+                f"run_batch reads the parquet event log; source="
+                f"{self.source!r} requires run_streaming()"
+            )
+        if self.gate is not None:
+            raise ValueError(
+                "run_batch applies all events in one ungated pass; the "
+                "maturity gate requires run_streaming()"
+            )
         events = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.event_dir)
         return apply_batch(
             self.spark,

@@ -46,6 +46,9 @@ class GoldDecayedPrice:
     """agg_prices analogue: per (asset, tumbling window) decayed
     volume-weighted average price, maintained incrementally."""
 
+    name = "decayed_price"
+    trigger_types = frozenset({"trade_event"})
+
     def __init__(
         self,
         spark: SparkSession,
@@ -121,4 +124,119 @@ class GoldDecayedPrice:
             silver, ["asset"], "ts_s", "price",
             weight_col=F.col("amount").cast("double"),
             window_s=self.window_s, half_life_s=self.half_life_s,
+        )
+
+
+GOLD_TVL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("tvl", T.DoubleType(), True),
+        T.StructField("n_trades", T.LongType(), True),
+    ]
+)
+
+
+class GoldAssetTvl:
+    """dex_pool TVL analogue (reference README.md:240-257,
+    parsers/accounts/tvl.py): per-asset total locked value, updated
+    after every batch that trades the asset. The reference's
+    TVLPoolStateParser re-estimates a pool's TVL after each swap and
+    upserts `prices.dex_pool`; here the affected assets' TVL is
+    recomputed FROM silver trades (broadcast semi-join prunes the scan
+    to the touched assets) and merged into the gold table under its own
+    batch_id / LWW guards — same incremental-view-maintenance contract
+    as GoldDecayedPrice.
+
+    The reference's top-tokens-by-TVL datamart (README.md:253-257:
+    dex_pool_link JOIN dex_pool GROUP BY jetton ORDER BY tvl LIMIT 10)
+    is `top_tokens()` — a query over this table joined with the silver
+    metadata table (the dex_pool_link analogue: repo -> symbol), exactly
+    as the reference runs it as SQL over its maintained tables.
+
+    TVL here = sum(amount * price) over the asset's trades, as double:
+    gross traded value standing in for the emulator-computed pool
+    reserves (E7 is declared out of scope, SURVEY §2.5). All-positive
+    terms -> no cancellation; parity tests compare with relative
+    tolerance since partial-aggregation order is nondeterministic.
+    """
+
+    name = "asset_tvl"
+    trigger_types = frozenset({"trade_event"})
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        trades_table: LakeTable,
+        bucket_count: int = 8,
+    ):
+        self.spark = spark
+        self.trades = trades_table
+        try:
+            self.table = LakeTable.create(
+                spark, root, GOLD_TVL_SCHEMA, ["asset"], "lsn",
+                bucket_count=bucket_count,
+            )
+        except FileExistsError:
+            self.table = LakeTable(spark, root)
+
+    def recompute_for(self, assets: DataFrame, version_lsn: int) -> DataFrame:
+        src = self.trades.read().join(
+            F.broadcast(assets), on="asset", how="left_semi"
+        )
+        return (
+            src.groupBy("asset")
+            .agg(
+                F.sum(F.col("amount").cast("double") * F.col("price")).alias(
+                    "tvl"
+                ),
+                F.count(F.lit(1)).alias("n_trades"),
+            )
+            .select(
+                "asset",
+                F.lit(version_lsn).cast("long").alias("lsn"),
+                "tvl",
+                "n_trades",
+                F.lit("u").alias("op"),
+            )
+        )
+
+    def update(self, events: DataFrame, batch_id: int | None, lsn_max) -> dict:
+        m = self.table.manifest()
+        if batch_id is not None and batch_id <= m["batch_id"]:
+            return {"skipped": True, "batch_id": batch_id}
+        asset = F.from_json("payload", _TRADE_HEAD).getField("asset")
+        touched = (
+            events.filter(F.col("event_type") == "trade_event")
+            .select(asset.alias("asset"))
+            .distinct()
+        )
+        updates = self.recompute_for(touched, int(lsn_max))
+        return merge_into(self.table, updates, batch_id=batch_id)
+
+    def full_recompute(self) -> DataFrame:
+        return self.trades.read().groupBy("asset").agg(
+            F.sum(F.col("amount").cast("double") * F.col("price")).alias("tvl"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+
+    def top_tokens(self, metadata_table: LakeTable, k: int = 10) -> DataFrame:
+        """Top tokens by TVL (reference README.md:253-257). The link
+        table is tiny relative to trades at scale but can still be
+        large in absolute terms — the join key is the gold table's own
+        key, so this stays a broadcast join of the gold side into the
+        link scan only while gold is small; spelled as a plain join and
+        left to AQE otherwise."""
+        link = metadata_table.read().select(
+            F.col("repo").alias("asset"), "symbol"
+        )
+        return (
+            self.table.read()
+            .filter(F.col("tvl") > 0)
+            .join(link, on="asset")
+            .groupBy("symbol")
+            .agg(F.sum("tvl").alias("total_tvl"))
+            .orderBy(F.desc("total_tvl"), "symbol")
+            .limit(k)
         )

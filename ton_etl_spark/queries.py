@@ -935,6 +935,124 @@ FROM final WHERE op != 'd'
 """
 
 
+def q_top_tvl_tokens(spark, sf):
+    """The reference's top-tokens-by-TVL datamart (README.md:253-257:
+    dex_pool_link JOIN dex_pool GROUP BY jetton ORDER BY tvl LIMIT 10)
+    run against CONTINUOUSLY MAINTAINED tables: a deterministic
+    trade+metadata change log derived from `events` is pushed through
+    the real streaming pipeline (silver fan-out -> incremental
+    GoldAssetTvl maintenance by affected assets), then the top-k join
+    runs over the maintained gold + metadata tables. Driver-checkable:
+    prices use scale 0, so every double sum is integer-valued and
+    exact in BOTH engines (no FP-order hazard in the value hash)."""
+    import base64
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .cdc.pipeline import CdcPipeline
+    from .cdc.silver import SilverFanout
+    from .gold import GoldAssetTvl
+    from .lake.table import LakeTable
+    from .schemas import REPOS_KEY_FIELDS, REPOS_SCHEMA
+
+    ids = pq.read_table(
+        os.path.join(sf, "events.parquet"), columns=["event_id"]
+    )["event_id"].to_pylist()
+    ids = sorted(e for e in set(ids) if e < 3000)
+
+    def b64int(v: int, nbytes: int) -> str:
+        return base64.b64encode(v.to_bytes(nbytes, "big", signed=True)).decode()
+
+    N_FILES = 4
+    rows: dict[int, list] = {i: [] for i in range(N_FILES)}
+    for e in ids:
+        repo = f"r{e % 13}"
+        if e % 5 == 0:
+            payload = _json.dumps(
+                {
+                    "name": f"tok_{e % 13}",
+                    "symbol": f"S{e % 7}",
+                    "sources_csv": ",".join(f"s{e % 3}" for _ in range(6)),
+                },
+                separators=(",", ":"),
+            )
+            kind, op = "metadata_event", "u"
+        else:
+            payload = _json.dumps(
+                {
+                    "asset": repo,
+                    "side": "buy" if e % 2 == 0 else "sell",
+                    "amount_scale": 0,
+                    "amount_value": b64int((e % 997) + 1, 4),
+                    "price_scale": 0,
+                    "price_value": b64int(((e * 13) % 4999) + 1, 4),
+                },
+                separators=(",", ":"),
+            )
+            kind, op = "trade_event", "c"
+        # e % N_FILES interleaves LSNs across arrival micro-batches:
+        # later batches carry older metadata lsns (the LWW guard must
+        # reject them) and the gold recompute sees assets repeatedly
+        rows[e % N_FILES].append((e, e, op, kind, repo, payload))
+
+    work = tempfile.mkdtemp(prefix="tvl_")
+    log_dir = os.path.join(work, "events")
+    os.makedirs(log_dir)
+    t0 = 1_700_000_000
+    for fi in range(N_FILES):
+        rs = rows[fi]
+        tbl = pa.table(
+            {
+                "lsn": pa.array([r[0] for r in rs], pa.int64()),
+                "ts_ms": pa.array([r[1] * 1000 for r in rs], pa.int64()),
+                "op": pa.array([r[2] for r in rs], pa.string()),
+                "event_type": pa.array([r[3] for r in rs], pa.string()),
+                "repo": pa.array([r[4] for r in rs], pa.string()),
+                "path": pa.array(["-" for _ in rs], pa.string()),
+                "payload": pa.array([r[5] for r in rs], pa.string()),
+            }
+        )
+        fp = os.path.join(log_dir, f"chunk-{fi:05d}.parquet")
+        pq.write_table(tbl, fp)
+        os.utime(fp, (t0 + fi, t0 + fi))
+
+    table = LakeTable.create(
+        spark, os.path.join(work, "lake"), REPOS_SCHEMA, REPOS_KEY_FIELDS,
+        "lsn", bucket_count=8,
+    )
+    fanout = SilverFanout(spark, os.path.join(work, "silver"))
+    tvl = GoldAssetTvl(spark, os.path.join(work, "gold_tvl"), fanout.tables["trades"])
+    CdcPipeline(
+        spark, table, log_dir, os.path.join(work, "cp"),
+        max_files_per_trigger=1, fanout=fanout, gold=[tvl],
+    ).run_streaming()
+    return tvl.top_tokens(fanout.tables["metadata"], k=10)
+
+
+O_TOP_TVL_TOKENS = """
+WITH ch AS (
+  SELECT DISTINCT event_id AS e FROM events WHERE event_id < 3000
+), tvl AS (
+  SELECT 'r' || CAST(e % 13 AS VARCHAR) AS asset,
+         CAST(SUM(((e % 997) + 1) * (((e * 13) % 4999) + 1)) AS DOUBLE) AS tvl
+  FROM ch WHERE e % 5 != 0 GROUP BY 1
+), md AS (
+  SELECT 'r' || CAST(e % 13 AS VARCHAR) AS repo,
+         'S' || CAST(e % 7 AS VARCHAR) AS symbol
+  FROM ch WHERE e % 5 = 0
+  QUALIFY row_number() OVER (PARTITION BY repo ORDER BY e DESC) = 1
+)
+SELECT symbol, CAST(SUM(tvl) AS DOUBLE) AS total_tvl
+FROM tvl JOIN md ON tvl.asset = md.repo
+WHERE tvl > 0
+GROUP BY symbol ORDER BY total_tvl DESC, symbol LIMIT 10
+"""
+
+
 def q_cdc_replay_demo(spark, sf):  # the engine itself, small replay
     import tempfile
 
@@ -998,6 +1116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "media_features": q_media_features,
     "cdc_replay_sql": q_cdc_replay_sql,
+    "top_tvl_tokens": q_top_tvl_tokens,
     "cdc_replay_demo": q_cdc_replay_demo,
 }
 
@@ -1032,4 +1151,5 @@ ORACLES: dict[str, str] = {
     "cosine_topk": O_COSINE_TOPK,
     "embedding_norms": O_EMBEDDING_NORMS,
     "cdc_replay_sql": O_CDC_REPLAY_SQL,
+    "top_tvl_tokens": O_TOP_TVL_TOKENS,
 }
