@@ -93,3 +93,37 @@ def test_gate_resume_after_kill(spark, tmp_path):
     _, pipe3 = _mk(spark, tmp_path, log_dir)
     pipe3.run_streaming()
     assert table_state(table) == expected
+
+
+def test_gated_apply_runs_no_extra_jobs(spark, tmp_path):
+    """The gate's bookkeeping (max-LSN seen, immature count) rides the
+    pipeline's single control-plane aggregation: a gated apply_batch
+    must schedule EXACTLY as many Spark jobs as an ungated one on the
+    same input (the r2 design ran a dedicated max-LSN collect — one
+    extra serial driver job per batch)."""
+    from ton_etl_spark.cdc.pipeline import apply_batch
+    from ton_etl_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    p = GenParams(n_events=600, n_repos=8, n_files=2)
+    events = generate_events(p)
+    log_dir = str(tmp_path / "events")
+    write_event_log(events, log_dir, p.n_files)
+    ev = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(log_dir)
+    max_lsn = max(e.lsn for e in events)
+
+    def count_jobs(gated: bool, sub: str) -> int:
+        table = LakeTable.create(
+            spark, str(tmp_path / f"lake_{sub}"), REPOS_SCHEMA,
+            REPOS_KEY_FIELDS, "lsn", bucket_count=8,
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None))
+        apply_batch(
+            spark, table, ev, batch_id=0,
+            mature_lsn=max_lsn if gated else None, gated=gated,
+        )
+        return len(set(tracker.getJobIdsForGroup(None)) - before)
+
+    ungated = count_jobs(False, "u")
+    gated = count_jobs(True, "g")
+    assert gated == ungated, (gated, ungated)

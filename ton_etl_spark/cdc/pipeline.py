@@ -185,40 +185,83 @@ def _resolve_renames(
 
     driver_rows: list[dict] = []
     if chained:
+        # Chain resolution WITHOUT moving content through the driver:
+        # collect only the narrow (repo, path, lsn, _dead) shape of the
+        # candidate writes (lake-side parquet scan prunes to 3 columns),
+        # run the sequential winner logic on PROVENANCE — each winner is
+        # identified by its original (repo, path, lsn) source triple,
+        # which chains carry forward through the overlay — then fetch the
+        # moved rows' content distributedly with one broadcast join of
+        # the tiny mapping against the candidates. The r2 design
+        # collected full content rows and shipped them back through
+        # createDataFrame: serial driver seconds per batch and unusable
+        # when content is large.
         ckeys_df = F.broadcast(
             spark.createDataFrame(
                 sorted({(r["repo"], r["path"]) for r in chained}),
                 "repo string, path string",
             )
         )
-        rows = cand.join(ckeys_df, on=["repo", "path"], how="left_semi").collect()
+        rows = (
+            cand.join(ckeys_df, on=["repo", "path"], how="left_semi")
+            .select("repo", "path", "lsn", "_dead")
+            .collect()
+        )
         by_key: dict[tuple, list] = {}
         for row in rows:
-            d = row.asDict()
-            by_key.setdefault((d["repo"], d["path"]), []).append(
-                (d["lsn"], d["_dead"], d)
+            by_key.setdefault((row["repo"], row["path"]), []).append(
+                (row["lsn"], row["_dead"])
             )
-        overlay: dict[tuple, tuple] = {}  # key -> (lsn, alive, row|None)
+        # new_key -> (rename_lsn, source triple); key -> (lsn, alive, src)
+        map_rows: list[tuple] = []
+        overlay: dict[tuple, tuple] = {}
         for r in chained:
             L, old = r["lsn"], (r["repo"], r["path"])
-            best = None  # (lsn, alive, row)
-            for lsn, dead, row in by_key.get(old, []):
+            best = None  # (lsn, alive, (src_repo, src_path, src_lsn))
+            for lsn, dead in by_key.get(old, []):
                 if lsn < L and (best is None or lsn > best[0]):
-                    best = (lsn, not dead, row)
+                    best = (lsn, not dead, (old[0], old[1], lsn))
             ov = overlay.get(old)
             if ov is not None and ov[0] < L and (best is None or ov[0] > best[0]):
                 best = ov
             if best is None or not best[1]:
                 continue
             new_key = (r["repo"], r["new_path"])
-            moved = {c: best[2].get(c) for c in data_cols}
-            moved.update(repo=new_key[0], path=new_key[1], lsn=L, op="u")
             driver_rows.append(
                 {"repo": old[0], "path": old[1], "lsn": L, "op": "d"}
             )
-            driver_rows.append(moved)
+            map_rows.append((new_key[0], new_key[1], L, *best[2]))
             overlay[old] = (L, False, None)
-            overlay[new_key] = (L, True, moved)
+            overlay[new_key] = (L, True, best[2])
+        if map_rows:
+            mdf = F.broadcast(
+                spark.createDataFrame(
+                    map_rows,
+                    "_nr string, _np string, _nl long, "
+                    "_sr string, _sp string, _sl long",
+                )
+            )
+            c = cand.alias("c")
+            moved = c.join(
+                mdf,
+                (F.col("c.repo") == F.col("_sr"))
+                & (F.col("c.path") == F.col("_sp"))
+                & (F.col("c.lsn") == F.col("_sl")),
+            ).select(
+                F.col("_nr").alias("repo"),
+                F.col("_np").alias("path"),
+                F.col("_nl").alias("lsn"),
+                F.lit("u").alias("op"),
+                *[F.col(f"c.{d}") for d in data_cols],
+            )
+            # duplicate (repo, path, lsn) candidates (a replayed batch
+            # row already merged into the lake) produce identical moved
+            # rows; the merge's deterministic in-batch dedup absorbs them
+            synth_df = (
+                moved
+                if synth_df is None
+                else synth_df.unionByName(moved, allowMissingColumns=True)
+            )
     return synth_df, driver_rows, len(chained)
 
 

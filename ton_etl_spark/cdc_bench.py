@@ -72,11 +72,16 @@ def main() -> None:
     # (decode, dedup, merge, write, hot-key sketch) before the clock
     # starts. Size matters: 5k events left the interpreted-eval +
     # parquet/zstd hot loops un-JITed, so the first measured batch paid
-    # ~2x its steady-state cost (observed 80s vs 46s at local[4]);
-    # 150k events drives C2 through the same loops first.
+    # ~2x its steady-state cost (observed 80s vs 46s at local[4]); and
+    # 150k was still too small at higher core counts — with 4 cores a
+    # measured batch only lasts ~13 s, so C2 compilation bled across the
+    # first THREE measured batches (batch 1 write showed zero
+    # parallelism: 35.5 s at local[4] vs 34.4 s at local[1]). 1M warmup
+    # events retire the compile debt before the clock at every level
+    # (measured: batch-1 wall 58.7 s -> 17.6 s at local[4]).
     from ton_etl_spark.cdc.skew import HotKeyMonitor
 
-    wn = int(os.environ.get("BENCH_WARMUP_EVENTS", "150000"))
+    wn = int(os.environ.get("BENCH_WARMUP_EVENTS", "1000000"))
     wlog = os.path.join(work, "warmup_events")
     generate_event_log(
         wlog, GenParams(n_events=wn, n_repos=max(wn // 4000, 20), n_files=1)
