@@ -176,24 +176,37 @@ def main():
                 all_runs[str(cores)],
                 key=lambda r: r["warm_events_per_sec"] or 0,
             )
+            # batches/host_cpu shown from the median-by-warm run; the
+            # summary statistics are PER-METRIC medians across runs
+            # (a run can have a clean warm phase and a stalled batch 1,
+            # so tying total to the median-by-warm run conflates them)
             med = dict(runs[len(runs) // 2])
             med["n_runs"] = len(runs)
+
+            def _median(key):
+                vals = sorted(r[key] for r in runs if r.get(key) is not None)
+                return vals[len(vals) // 2] if vals else None
+
+            med["warm_events_per_sec"] = _median("warm_events_per_sec")
+            med["events_per_sec"] = _median("events_per_sec")
+            med["wall_s"] = _median("wall_s")
             med["warm_spread"] = [
                 runs[0]["warm_events_per_sec"],
                 runs[-1]["warm_events_per_sec"],
             ]
             med["total_spread"] = sorted(
-                [runs[0]["events_per_sec"], runs[-1]["events_per_sec"]]
-            )
+                r["events_per_sec"] for r in runs
+            )[:: max(len(runs) - 1, 1)]
             # per-batch rate distribution pooled across ALL runs at this
             # level, warm batches only (first batch of each run excluded):
             # a host stall corrupts one batch, not a whole run's statistic
-            pooled = sorted(
-                b["rate"]
+            warm_batches = [
+                b
                 for r in runs
                 for b in r.get("batches", [])[1:]
                 if b.get("rate")
-            )
+            ]
+            pooled = sorted(b["rate"] for b in warm_batches)
             if pooled:
                 n = len(pooled)
                 med["warm_batch_rates"] = {
@@ -203,6 +216,21 @@ def main():
                     "median": pooled[n // 2],
                     "p75": pooled[(3 * n) // 4],
                     "max": pooled[-1],
+                }
+            # "clean" = batches whose sampled host CPU shows <=2% steal:
+            # a MEASURED-interference criterion, not a result-value cut.
+            # Excluded count is always reported (no silent caps).
+            with_cpu = [b for b in warm_batches if b.get("host_cpu")]
+            clean = sorted(
+                b["rate"]
+                for b in with_cpu
+                if b["host_cpu"].get("steal", 0.0) <= 2.0
+            )
+            if with_cpu:
+                med["clean_batch_rates"] = {
+                    "n": len(clean),
+                    "excluded_stalled": len(with_cpu) - len(clean),
+                    "median": clean[len(clean) // 2] if clean else None,
                 }
             levels[str(cores)] = med
         lo, hi = (levels[str(c)] for c in CDC_LEVELS)
@@ -233,6 +261,17 @@ def main():
             cdc["batch_median_scaling_efficiency"] = round(
                 batch_ratio / ideal, 3
             )
+        lo_clean = lo.get("clean_batch_rates") or {}
+        hi_clean = hi.get("clean_batch_rates") or {}
+        if lo_clean.get("median") and hi_clean.get("median"):
+            clean_ratio = hi_clean["median"] / lo_clean["median"]
+            cdc["clean_batch_median_scaling_efficiency"] = round(
+                clean_ratio / ideal, 3
+            )
+            cdc["stalled_batches_excluded"] = [
+                lo_clean.get("excluded_stalled", 0),
+                hi_clean.get("excluded_stalled", 0),
+            ]
         results["cdc"] = cdc
         for c in CDC_LEVELS:
             results["queries"][f"cdc_apply_local{c}"] = levels[str(c)]["wall_s"]
@@ -270,6 +309,13 @@ def _append_bench_md(results: dict) -> None:
             f"  - final-state sha256 parity across levels: "
             f"{cdc['state_parity']}\n"
         )
+        if "clean_batch_median_scaling_efficiency" in cdc:
+            lines.append(
+                f"  - clean-batch (host steal<=2%) median scaling: "
+                f"{cdc['clean_batch_median_scaling_efficiency']} "
+                f"(stalled batches excluded per level: "
+                f"{cdc['stalled_batches_excluded']})\n"
+            )
         for c in CDC_LEVELS:
             wbr = cdc["levels"][str(c)].get("warm_batch_rates")
             if wbr:

@@ -194,6 +194,35 @@ def test_ann_lsh_recall_vs_brute_force(spark, tmp_path):
     assert recall >= 0.4  # loose: 4 planes on random data; scale path tested
 
 
+def test_cosine_near_dup_exact_and_lsh_agree(spark):
+    """Banded-LSH near-dup must find exactly the pairs the brute-force
+    kernel finds on a corpus with planted near-duplicates (perturbed
+    copies at cosine ~0.99, everything else < 0.6): candidates are
+    verified with the same cosine, so precision is structural; this
+    asserts the 12x4-band OR-construction's recall too."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = [(i, rng.standard_normal(16)) for i in range(60)]
+    planted = [
+        (i + 1000, v + 0.15 * dict(base)[(i + 7) % 60]) for i, v in base
+    ]
+    data = [
+        (i, v.astype("float32").tolist()) for i, v in base + planted
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in SIM.cosine_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in SIM.cosine_near_dup_lsh(df, dim=16, threshold=0.9).collect()
+    }
+    assert len(exact) == 60  # every planted copy, nothing else
+    assert lsh == exact  # 100% recall AND exact scores (same kernel)
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 def test_media_features_shapes_and_strict_stub(spark):

@@ -25,7 +25,61 @@ import json
 import os
 import shutil
 import sys
+import threading
 import time
+
+
+class CpuSampler:
+    """Samples host /proc/stat every `period` s on a daemon thread.
+
+    Purpose: attribute wall-clock anomalies. This sandbox is a guest VM
+    on an overcommitted hypervisor; a batch that takes 20x its steady
+    cost with our own user% near zero and steal%/idle% high is the host
+    descheduling us, not the engine. window() integrates the counters
+    over [t0, t1] so each micro-batch gets its own CPU mix."""
+
+    FIELDS = ("user", "nice", "sys", "idle", "iowait", "irq", "softirq",
+              "steal")
+
+    def __init__(self, period: float = 0.5):
+        self.period = period
+        self.samples: list[tuple[float, list[int]]] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _read() -> list[int]:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self.samples.append((time.time(), self._read()))
+            except OSError:
+                return
+            self._stop.wait(self.period)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def window(self, t0: float, t1: float) -> dict | None:
+        """CPU mix (percent of total jiffies) between the samples
+        closest to t0 and t1; None if fewer than 2 samples landed."""
+        inside = [s for s in self.samples if t0 <= s[0] <= t1]
+        if len(inside) < 2:
+            return None
+        d = [b - a for a, b in zip(inside[0][1], inside[-1][1])]
+        tot = sum(d) or 1
+        return {
+            n: round(100.0 * v / tot, 1)
+            for n, v in zip(self.FIELDS, d)
+            if n in ("user", "sys", "idle", "iowait", "steal")
+        }
 
 
 def main() -> None:
@@ -105,9 +159,11 @@ def main() -> None:
         max_files_per_trigger=mft,
     )
     pipe.monitor.refresh_every = 1000
+    sampler = CpuSampler().start()
     t0 = time.time()
     pipe.run_streaming(available_now=True)
     wall = time.time() - t0
+    sampler.stop()
 
     state = table.read().agg(
         F.sha2(
@@ -139,6 +195,14 @@ def main() -> None:
         for r in pipe.batch_results
         if not r.get("skipped")
     ]
+    # attach the host CPU mix per batch (windows reconstructed
+    # cumulatively from t0 — batches run back-to-back under
+    # availableNow, and the streaming bookkeeping gap is <1% of wall)
+    cursor = t0
+    for b in batches:
+        b_end = cursor + b["ms"] / 1000.0
+        b["host_cpu"] = sampler.window(cursor, b_end)
+        cursor = b_end
     n_events = sum(b["events"] for b in batches)
     warm = batches[1:] if len(batches) > 1 else batches
     warm_events = sum(b["events"] for b in warm)

@@ -141,6 +141,107 @@ def signature_probes(
     return F.array(*probes)
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, score)
+    with id_a < id_b and round(cosine, score_decimals) >= threshold.
+
+    This is the VERIFIER kernel — O(n^2) comparisons, so it is only run
+    directly on bounded subsets (or within LSH candidate buckets; see
+    `cosine_near_dup_lsh` for the 100 TB path). Mirrors the role
+    n-gram Jaccard plays for text dedup."""
+    v = F.col(vec_col).cast("array<double>")
+    a = df.select(F.col(id_col).alias("id_a"), v.alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), v.alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(F.col("_va"), F.col("_vb")), score_decimals
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 12,
+    band_planes: int = 4,
+    seed: int = 42,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: banded random-hyperplane LSH
+    (OR over `n_bands` independent `band_planes`-bit signatures) buckets
+    the corpus; candidate pairs share a (band, signature) bucket and are
+    then EXACTLY verified with the same cosine as the brute-force kernel
+    — so precision is exact and only recall is probabilistic (miss prob
+    per true pair (1 - p^band_planes)^n_bands with p = 1 - theta/pi;
+    for cos >= 0.95 and the 12x4 default this is < 1e-4).
+
+    Scale shape: one shuffle on bounded (band, signature) keys — no
+    all-pairs product; each vector appears in exactly n_bands buckets."""
+    v = F.col(vec_col).cast("array<double>")
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        *[
+            hyperplane_signature(
+                df, vec_col, dim, band_planes, seed + 1009 * band
+            ).alias(f"_s{band}")
+            for band in range(n_bands)
+        ],
+    )
+    banded = sigs.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.col(f"_s{band}").alias("sig"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("_bs"),
+    ).select("_id", "_v", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig"))
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "band", "sig"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "band", "sig"
+    )
+    cand = (
+        left.join(right, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can collide in several bands — verify it once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(F.col("_va"), F.col("_vb")), score_decimals
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -791,6 +791,74 @@ def q_embedding_norms(spark, sf):
     )
 
 
+def _planted_near_dup_corpus(spark, sf):
+    """The synthetic embeddings are isotropic (max pairwise cosine ~0.51
+    at sf0.01), so near-dup operators are exercised on a corpus with
+    DETERMINISTICALLY PLANTED near-duplicates: for each base vector a
+    (vec_id < 200), a perturbed copy id+1000 = a + 0.15 * partner where
+    partner = (a+137) % 200. cosine(copy, a) ~ 0.99 while every
+    unplanted pair stays < 0.45 — a wide margin for threshold 0.95.
+    The same construction is expressed in the DuckDB oracle."""
+    e = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    partner = e.select(
+        F.col("vec_id").alias("_pid"), F.col("v").alias("_pv")
+    )
+    pert = (
+        e.join(
+            F.broadcast(partner),
+            (F.col("vec_id") + 137) % 200 == F.col("_pid"),
+        )
+        .select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.zip_with("v", "_pv", lambda x, y: x + 0.15 * y).alias("v"),
+        )
+    )
+    return e.unionByName(pert)
+
+
+def q_embedding_near_dup(spark, sf):
+    corpus = _planted_near_dup_corpus(spark, sf)
+    return SIM.cosine_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="v", threshold=0.95
+    )
+
+
+O_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 200),
+pert AS (
+  SELECT a.vec_id + 1000 AS vec_id,
+         list_transform(list_zip(a.v, b.v), x -> x[1] + 0.15 * x[2]) AS v
+  FROM e a JOIN e b ON b.vec_id = (a.vec_id + 137) % 200),
+corpus AS (SELECT * FROM e UNION ALL SELECT * FROM pert)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS score
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf):
+    """Banded-LSH near-dup (the scale path) on the same planted corpus.
+    Candidates are exactly verified, so precision is exact; with 12
+    bands x 4 planes the per-pair miss probability at cos>=0.95 is
+    <1e-4, and on this fixed corpus+seed recall is exactly 100%
+    (asserted vs the brute-force kernel in tests) — hence it shares the
+    brute-force oracle."""
+    corpus = _planted_near_dup_corpus(spark, sf)
+    return SIM.cosine_near_dup_lsh(
+        corpus,
+        dim=_embedding_dim(sf),
+        id_col="vec_id",
+        vec_col="v",
+        threshold=0.95,
+    )
+
+
 O_EMBEDDING_NORMS = """
 SELECT label,
        round(avg(sqrt(list_aggregate(
@@ -1113,6 +1181,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_norms": q_embedding_norms,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_distinct_users": q_approx_distinct_users,
     "media_features": q_media_features,
     "cdc_replay_sql": q_cdc_replay_sql,
@@ -1150,6 +1220,8 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": O_JACCARD_PAIRS,
     "cosine_topk": O_COSINE_TOPK,
     "embedding_norms": O_EMBEDDING_NORMS,
+    "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup_lsh": O_EMBEDDING_NEAR_DUP,
     "cdc_replay_sql": O_CDC_REPLAY_SQL,
     "top_tvl_tokens": O_TOP_TVL_TOKENS,
 }
