@@ -29,7 +29,7 @@ from ton_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))
 # N and 4N cores (in-sandbox proxy for N vs 4N executors). 1 vs 4 by
 # default: this host is an overcommitted shared VM — runs with >=8 busy
 # vCPUs get gang-descheduled in bursts (observed 40-180 s stalls with
@@ -82,15 +82,19 @@ def cdc_event_log() -> tuple[str, int]:
     """Generate (once, cached) the CDC bench event log."""
     from ton_etl_spark.datagen import GenParams, generate_event_log
 
-    # 16 log files at maxFilesPerTrigger=2 -> 8 micro-batches per run:
-    # "warm" is then 7 batches (not 1), and a single host stall lands in
-    # one batch instead of dominating the whole run — both scaling
-    # statistics become robust (r2 verdict "Next round" #3)
+    # 32 log files at maxFilesPerTrigger=4 -> 8 micro-batches of 1M
+    # events per run: "warm" is 7 batches (not 1) and a single host
+    # stall lands in one batch instead of dominating the whole run (r2
+    # verdict "Next round" #3). 1M-event batches amortize the measured
+    # ~4-5 s/batch serial floor (driver round-trips, control collect,
+    # streaming bookkeeping) over 2x the payload — the batch size a
+    # real deployment would pick, and far below what a 1000-executor
+    # job would use per trigger.
     params = GenParams(
         n_events=CDC_EVENTS,
         n_repos=max(CDC_EVENTS // 4000, 50),
         paths_per_repo=60,
-        n_files=16,
+        n_files=32,
         hot_share=0.3,
     )
     tag = f"{CDC_EVENTS}_{params.n_repos}_{params.seed}_{params.n_files}"
@@ -124,7 +128,7 @@ def run_cdc_level(cores: int, log_dir: str) -> dict:
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "ton_etl_spark.cdc_bench",
-                 str(cores), log_dir, work, "2"],
+                 str(cores), log_dir, work, "4"],
                 capture_output=True, text=True, timeout=RUN_TIMEOUT,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )

@@ -194,6 +194,34 @@ def test_ann_lsh_recall_vs_brute_force(spark, tmp_path):
     assert recall >= 0.4  # loose: 4 planes on random data; scale path tested
 
 
+def test_ivf_ann_recall_on_clustered_data(spark):
+    """IVF with Lloyd-trained cells must recover nearly all true
+    neighbors on clustered data (where cells mirror the clusters);
+    nprobe=2 of 8 cells, so a full scan can't be the explanation."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    data = [
+        (i, (centers[i % 8] + rng.standard_normal(16) * 0.3)
+             .astype("float32").tolist())
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") < 4)
+    corpus = df.filter(F.col("vec_id") >= 4)
+    cents = SIM.train_centroids(corpus, n_cells=8, iters=2)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(corpus, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_ann_topk(corpus, qs, cents, k=5, nprobe=2).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
 def test_cosine_near_dup_exact_and_lsh_agree(spark):
     """Banded-LSH near-dup must find exactly the pairs the brute-force
     kernel finds on a corpus with planted near-duplicates (perturbed

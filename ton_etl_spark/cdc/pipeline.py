@@ -122,7 +122,9 @@ def _resolve_renames(
     where sequential order between renames matters) fall back to a
     driver loop over a few collected rows.
 
-    Returns (synthetic_df | None, driver_synthetic_rows, n_chained).
+    Returns (synthetic_df | None, driver_synthetic_rows, n_chained,
+    persisted_candidates | None — caller unpersists after the merge
+    materializes).
     """
     # dedup duplicate deliveries by lsn
     seen, renames = set(), []
@@ -132,7 +134,7 @@ def _resolve_renames(
         seen.add(r["lsn"])
         renames.append(r)
     if not renames:
-        return None, [], 0
+        return None, [], 0, None
 
     simple, chained = _split_chained(renames)
     if old_keys_df is None:
@@ -150,6 +152,12 @@ def _resolve_renames(
         table, in_batch_upserts, in_batch_deletes, data_cols,
         old_keys_df, old_key_buckets,
     )
+    # cand is referenced up to three times per batch (chained-candidate
+    # collect, simple-winner join, moved-content join) and each
+    # reference re-runs the bucket-pruned lake scan AND the Arrow
+    # decode of the old-key events; persist once, the caller
+    # unpersists after the merge materializes
+    cand = cand.persist()
 
     synth_df = None
     if simple:
@@ -262,7 +270,7 @@ def _resolve_renames(
                 if synth_df is None
                 else synth_df.unionByName(moved, allowMissingColumns=True)
             )
-    return synth_df, driver_rows, len(chained)
+    return synth_df, driver_rows, len(chained), cand
 
 
 # event types that target the main repos table (everything else is
@@ -497,7 +505,7 @@ def apply_batch(
         dels_ren = reg.route(ev_old, reg.get("file_delete"))
     else:
         old_keys_df = ups_ren = dels_ren = None
-    synth_df, driver_rows, n_chained = _resolve_renames(
+    synth_df, driver_rows, n_chained, ren_cand = _resolve_renames(
         spark, table, ren, ups_ren, dels_ren, data_cols,
         old_key_buckets=ren_buckets, old_keys_df=old_keys_df,
     )
@@ -542,6 +550,10 @@ def apply_batch(
     result = merge_into(
         table, updates, batch_id=batch_id, salt=salt, precomputed=precomputed
     )
+    if ren_cand is not None:
+        # the merge has materialized every plan that reads the rename
+        # candidates — release the persisted blocks before fan-out
+        ren_cand.unpersist()
 
     # silver fan-out + incremental gold maintenance: each table carries
     # its own batch_id guard, so a crash between any two commits heals

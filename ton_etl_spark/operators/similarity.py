@@ -141,6 +141,129 @@ def signature_probes(
     return F.array(*probes)
 
 
+def ivf_cell_expr(vec_col: str, centroids: list[list[float]]):
+    """Column expression: index (1-based) of the nearest centroid by
+    dot product. Centroids ride in the plan as literal arrays — the
+    same trick as the LSH hyperplanes, so assignment is identical on
+    every executor and across cluster sizes, with zero Python."""
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(
+        *[_dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_probe_expr(vec_col: str, centroids: list[list[float]], nprobe: int):
+    """array<int> of the `nprobe` nearest centroid indices for a query
+    vector (the cells it searches)."""
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(
+        *[_dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(centroids))),
+            lambda i: F.struct(
+                (-F.element_at(dots, i)).alias("nd"), i.cast("int").alias("i")
+            ),
+        )
+    )
+    return F.transform(
+        F.slice(ranked, 1, min(nprobe, len(centroids))), lambda s: s["i"]
+    )
+
+
+def train_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: seed cells with the `n_cells`
+    lowest-id vectors, then run `iters` Lloyd steps AS DATAFRAME AGGS
+    (assign = ivf_cell_expr with literal centroids; update = groupBy
+    cell, avg per dimension). Each iteration is one shuffle over
+    n_cells keys; only n_cells * dim floats ever reach the driver — at
+    100 TB this trains on a sample partition, like any IVF build."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [r["v"] for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = df.select(
+            ivf_cell_expr(vec_col, centroids).alias("_cell"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        rows = (
+            assigned.groupBy("_cell")
+            .agg(
+                *[
+                    F.avg(F.element_at("_v", i + 1)).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in rows:
+            new[r["_cell"] - 1] = [r[f"d{i}"] for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their
+    nearest coarse centroid; each query searches only its `nprobe`
+    nearest cells, exactly (same cosine as the brute-force kernel).
+
+    Scale shape: the corpus is partitioned by `_cell` (at rest:
+    `.write.bucketBy(n_cells, "_cell")` — the assignment expression is
+    deterministic so the bucketing survives re-reads), queries
+    broadcast with their probe lists exploded, and the join fans each
+    query out to nprobe/n_cells of the data instead of all of it."""
+    vcell = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vv"),
+        ivf_cell_expr(vec_col, centroids).alias("_cell"),
+    )
+    qprobe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(ivf_probe_expr(vec_col, centroids, nprobe)).alias("_cell"),
+    )
+    scored = vcell.join(F.broadcast(qprobe), on="_cell").select(
+        "query_id",
+        "neighbor_id",
+        cosine(
+            F.col("_qv").cast("array<double>"), F.col("_vv").cast("array<double>")
+        ).alias("_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("_score", 6).alias("score"),
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

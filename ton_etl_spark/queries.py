@@ -776,6 +776,16 @@ def q_ann_lsh_topk(spark, sf):  # no SQL oracle: LSH bucketing
     return SIM.ann_lsh_topk(corpus, queries, dim, k=5, n_planes=6, multiprobe=2)
 
 
+def q_ivf_ann_topk(spark, sf):  # no SQL oracle: IVF cell assignment
+    """IVF ANN: 16-cell coarse quantizer trained with 2 Lloyd steps as
+    DataFrame aggregations, queries probe their 4 nearest cells."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = SIM.train_centroids(corpus, n_cells=16, iters=2)
+    return SIM.ivf_ann_topk(corpus, queries, cents, k=5, nprobe=4)
+
+
 def q_embedding_norms(spark, sf):
     emb = _t(spark, sf, "embeddings")
     norm = F.sqrt(
@@ -1181,6 +1191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_norms": q_embedding_norms,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_distinct_users": q_approx_distinct_users,
