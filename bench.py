@@ -56,6 +56,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "cosine_topk",
+    "embedding_near_dup_lsh",
+    "ivf_ann_topk",
 ]
 
 

@@ -62,3 +62,27 @@ def test_upsert_decode_udf_evaluated_once(spark):
     plan = optimized_of(out)
     # one decode for `content`, not re-inlined into the filter
     assert plan.count("_unpack_zb64") == 1
+
+
+def test_near_dup_lsh_is_bucketed_jvm_join(spark):
+    """The banded-LSH near-dup must candidate via a real equi-join on
+    (band, signature) — never a nested-loop all-pairs product — with
+    zero Python in the plan."""
+    from ton_etl_spark.queries import q_embedding_near_dup_lsh
+
+    plan = plan_of(q_embedding_near_dup_lsh(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivf_ann_joins_on_cell(spark):
+    """IVF search joins corpus to queries on the coarse cell id (hash
+    join on _cell), not a cross product; centroid dots are literal
+    column expressions, no Python."""
+    from ton_etl_spark.queries import q_ivf_ann_topk
+
+    plan = plan_of(q_ivf_ann_topk(spark, SF))
+    assert "_cell" in plan and "HashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -82,13 +82,15 @@ def cosine_topk(
 
 def _plane_dots(vec_col: str, dim: int, n_planes: int, seed: int):
     """array<double> of the vector's dot product with each seeded
-    hyperplane (plans are literal arrays -> reproducible everywhere)."""
+    hyperplane. The planes ship as ONE nested-array literal walked with
+    higher-order functions — the earlier per-element `F.lit` spelling
+    put n_planes*dim scalar literal nodes in the plan, and at
+    12 bands x 4 planes x 64 dims the plan build + codegen alone cost
+    ~7 s per query; a single matrix literal is one tree node."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_planes, dim)).tolist()
     v = F.col(vec_col).cast("array<double>")
-    return F.array(
-        *[_dot(v, F.array(*[F.lit(float(x)) for x in p])) for p in planes]
-    )
+    return F.transform(F.lit(planes), lambda p: _dot(v, p))
 
 
 def hyperplane_signature(
@@ -98,13 +100,21 @@ def hyperplane_signature(
     n_planes: int = 8,
     seed: int = 42,
 ):
-    """Column expression: n_planes-bit random-hyperplane LSH signature."""
+    """Column expression: n_planes-bit random-hyperplane LSH signature.
+    One pass over the dots array (zip with bit weights, sum) — the
+    per-bit element_at spelling re-evaluated the whole dot transform
+    once per bit."""
     dots = _plane_dots(vec_col, dim, n_planes, seed)
-    sig = F.lit(0)
-    for i in range(n_planes):
-        bit = (F.element_at(dots, i + 1) > 0).cast("int")
-        sig = sig + F.shiftleft(bit, i)
-    return sig
+    weights = [float(1 << i) for i in range(n_planes)]
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            F.lit(weights),
+            lambda d, w: F.when(d > 0, w).otherwise(0.0),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ).cast("int")
 
 
 def signature_probes(
@@ -121,15 +131,21 @@ def signature_probes(
     column expressions; margins are computed from the same literal
     planes as the signature."""
     dots = _plane_dots(vec_col, dim, n_planes, seed)
-    sig = F.lit(0)
-    for i in range(n_planes):
-        sig = sig + F.shiftleft((F.element_at(dots, i + 1) > 0).cast("int"), i)
+    weights = [float(1 << i) for i in range(n_planes)]
+    sig = F.aggregate(
+        F.zip_with(
+            dots,
+            F.lit(weights),
+            lambda d, w: F.when(d > 0, w).otherwise(0.0),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ).cast("int")
     ranked = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda i: F.struct(
-                F.abs(F.element_at(dots, i + 1)).alias("m"), i.alias("i")
-            ),
+        F.zip_with(
+            dots,
+            F.lit(list(range(n_planes))),
+            lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("i")),
         )
     )
     probes = [sig]
@@ -147,8 +163,8 @@ def ivf_cell_expr(vec_col: str, centroids: list[list[float]]):
     same trick as the LSH hyperplanes, so assignment is identical on
     every executor and across cluster sizes, with zero Python."""
     v = F.col(vec_col).cast("array<double>")
-    dots = F.array(
-        *[_dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    dots = F.transform(
+        F.lit([list(map(float, c)) for c in centroids]), lambda c: _dot(v, c)
     )
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
@@ -157,8 +173,8 @@ def ivf_probe_expr(vec_col: str, centroids: list[list[float]], nprobe: int):
     """array<int> of the `nprobe` nearest centroid indices for a query
     vector (the cells it searches)."""
     v = F.col(vec_col).cast("array<double>")
-    dots = F.array(
-        *[_dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    dots = F.transform(
+        F.lit([list(map(float, c)) for c in centroids]), lambda c: _dot(v, c)
     )
     ranked = F.array_sort(
         F.transform(
