@@ -227,7 +227,8 @@ def test_cosine_near_dup_exact_and_lsh_agree(spark):
     kernel finds on a corpus with planted near-duplicates (perturbed
     copies at cosine ~0.99, everything else < 0.6): candidates are
     verified with the same cosine, so precision is structural; this
-    asserts the 12x4-band OR-construction's recall too."""
+    asserts the 16x8-band OR-construction's recall too (planted pairs
+    sit at cos ~0.99: per-pair miss ~1e-8)."""
     import numpy as np
 
     rng = np.random.default_rng(7)

@@ -209,25 +209,30 @@ def train_centroids(
         .collect()
     )
     centroids = [r["v"] for r in seeds]
-    dim = len(centroids[0])
     for _ in range(iters):
+        # Lloyd update: explode the vector to (cell, dim_pos, value) and
+        # average per (cell, pos) — 3 expressions instead of `dim`
+        # aggregate columns (64 avg aggs cost multiple seconds of
+        # analysis per iteration); the shuffle carries n_cells*dim keys
+        # the cell assignment MUST be materialized in its own projection
+        # below the explode: putting it in the same select as posexplode
+        # re-evaluates the centroid-dot expression once per GENERATED
+        # row (dim x overhead — measured 10.6 s vs 1.3 s here)
         assigned = df.select(
             ivf_cell_expr(vec_col, centroids).alias("_cell"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
         rows = (
-            assigned.groupBy("_cell")
-            .agg(
-                *[
-                    F.avg(F.element_at("_v", i + 1)).alias(f"d{i}")
-                    for i in range(dim)
-                ]
+            assigned.select(
+                "_cell", F.posexplode("_v").alias("_pos", "_x")
             )
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
             .collect()
         )
-        new = list(centroids)
+        new = [list(c) for c in centroids]
         for r in rows:
-            new[r["_cell"] - 1] = [r[f"d{i}"] for i in range(dim)]
+            new[r["_cell"] - 1][r["_pos"]] = r["_m"]
         centroids = new
     return centroids
 
@@ -310,14 +315,51 @@ def cosine_near_dup_pairs(
     )
 
 
+def _band_signature_udf(dim: int, n_bands: int, band_planes: int, seed: int):
+    """Arrow-vectorized banded-signature kernel: sig[b] of a vector v
+    packs the sign bits of v . plane_i for the planes of band b
+    (plane i belongs to band i // band_planes with bit weight
+    1 << (i % band_planes)). Deterministic: the plane matrix is
+    derived from `seed` exactly like `_plane_dots`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    n_total = n_bands * band_planes
+    planes = rng.standard_normal((n_total, dim))
+    weights = (1 << (np.arange(n_total) % band_planes)).astype(np.int64)
+    band_of = np.arange(n_total) // band_planes
+
+    def band_sigs(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        zero = np.zeros(dim)
+        m = np.stack(
+            [
+                np.asarray(x, dtype=np.float64) if x is not None else zero
+                for x in vs
+            ]
+        )
+        contrib = (m @ planes.T > 0) * weights          # (N, n_total)
+        out = np.zeros((len(vs), n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            out[:, b] = contrib[:, band_of == b].sum(axis=1)
+        return pd.Series([[int(x) for x in row] for row in out])
+
+    # real type objects, not strings: `from __future__ import
+    # annotations` would stringify inline hints and break inference
+    band_sigs.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(band_sigs, "array<int>")
+
+
 def cosine_near_dup_lsh(
     df: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_bands: int = 12,
-    band_planes: int = 4,
+    n_bands: int = 16,
+    band_planes: int = 8,
     seed: int = 42,
     score_decimals: int = 6,
 ) -> DataFrame:
@@ -327,50 +369,50 @@ def cosine_near_dup_lsh(
     then EXACTLY verified with the same cosine as the brute-force kernel
     — so precision is exact and only recall is probabilistic (miss prob
     per true pair (1 - p^band_planes)^n_bands with p = 1 - theta/pi;
-    for cos >= 0.95 and the 12x4 default this is < 1e-4).
+    a pair at cos 0.99 under the 16x8 default misses with p ~ 1e-8.
+    Band WIDTH controls candidate volume: 8-plane bands give 256
+    buckets per band, so bucket joins stay sparse as the corpus grows
+    (4-plane bands degenerate toward all-pairs past ~1k vectors).
 
     Scale shape: one shuffle on bounded (band, signature) keys — no
     all-pairs product; each vector appears in exactly n_bands buckets."""
+    # ALL band signatures from one Arrow-vectorized kernel: a batch
+    # matmul against the (n_bands*band_planes, dim) plane matrix plus a
+    # per-band bit fold, in numpy. This is the ONE place the similarity
+    # stack leaves the JVM, and deliberately so: Catalyst higher-order
+    # functions run interpreted (no whole-stage codegen), so every
+    # column-expression spelling of a 128-plane signature measured
+    # seconds per thousand rows (per-band trees: ~0.4 s of ANALYSIS per
+    # band; slice-per-band: re-evaluates the dot transform once per
+    # band per row; an aggregate fold: rebuilds the accumulator array
+    # per element) — while one BLAS matmul per Arrow batch is
+    # microseconds and scales linearly. Same planes, same sign test,
+    # bit-identical signatures (asserted by the exact-vs-LSH test).
     v = F.col(vec_col).cast("array<double>")
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        v.alias("_v"),
-        *[
-            hyperplane_signature(
-                df, vec_col, dim, band_planes, seed + 1009 * band
-            ).alias(f"_s{band}")
-            for band in range(n_bands)
-        ],
-    )
-    banded = sigs.select(
-        "_id",
-        "_v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.col(f"_s{band}").alias("sig"),
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("_bs"),
-    ).select("_id", "_v", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig"))
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "band", "sig"
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "band", "sig"
-    )
+    sig_udf = _band_signature_udf(dim, n_bands, band_planes, seed)
+    # the banded frame carries ONLY (id, band, sig): shuffling vectors
+    # through the candidate join + pair dedup would double the shuffle
+    # bytes for nothing — vectors are re-attached to the (typically
+    # tiny) surviving pair set for verification
+    pre = df.select(F.col(id_col).alias("_id"), sig_udf(v).alias("_sigs"))
+    banded = pre.select("_id", F.posexplode("_sigs").alias("band", "sig"))
     cand = (
-        left.join(right, on=["band", "sig"])
+        banded.select(F.col("_id").alias("id_a"), "band", "sig")
+        .join(
+            banded.select(F.col("_id").alias("id_b"), "band", "sig"),
+            on=["band", "sig"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         # a pair can collide in several bands — verify it once
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
     )
+    va = df.select(F.col(id_col).alias("id_a"), v.alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), v.alias("_vb"))
     return (
-        cand.select(
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(
