@@ -91,14 +91,10 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
 
-    from ton_etl_spark.cdc.pipeline import CdcPipeline, apply_batch
+    from ton_etl_spark.cdc.pipeline import CdcPipeline
     from ton_etl_spark.datagen import GenParams, generate_event_log
     from ton_etl_spark.lake.table import LakeTable
-    from ton_etl_spark.schemas import (
-        CHANGE_EVENT_SCHEMA,
-        REPOS_KEY_FIELDS,
-        REPOS_SCHEMA,
-    )
+    from ton_etl_spark.schemas import REPOS_KEY_FIELDS, REPOS_SCHEMA
     from ton_etl_spark.session import get_spark
 
     spark = get_spark(
@@ -133,19 +129,27 @@ def main() -> None:
     # parallelism: 35.5 s at local[4] vs 34.4 s at local[1]). 1M warmup
     # events retire the compile debt before the clock at every level
     # (measured: batch-1 wall 58.7 s -> 17.6 s at local[4]).
-    from ton_etl_spark.cdc.skew import HotKeyMonitor
-
     wn = int(os.environ.get("BENCH_WARMUP_EVENTS", "1000000"))
     wlog = os.path.join(work, "warmup_events")
     generate_event_log(
-        wlog, GenParams(n_events=wn, n_repos=max(wn // 4000, 20), n_files=1)
+        wlog, GenParams(n_events=wn, n_repos=max(wn // 4000, 20), n_files=2)
     )
     wtable = LakeTable.create(
         spark, os.path.join(work, "warmup_lake"), REPOS_SCHEMA,
         REPOS_KEY_FIELDS, "lsn", bucket_count=max(cores * 4, 16),
     )
-    wev = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(wlog)
-    apply_batch(spark, wtable, wev, monitor=HotKeyMonitor(REPOS_KEY_FIELDS))
+    # warm up THROUGH run_streaming, not apply_batch directly: the
+    # streaming file source drives a different scan/codegen path than a
+    # batch parquet read, and with a batch-only warmup the first
+    # measured micro-batch's control aggregation ran 17x its steady
+    # cost at local[4] (63.6 s vs 3.8 s, host steal 2.4% — i.e. not
+    # the hypervisor) while batch warmup left local[1] unaffected
+    wpipe = CdcPipeline(
+        spark, wtable, wlog, os.path.join(work, "warmup_cp"),
+        max_files_per_trigger=1,
+    )
+    wpipe.monitor.refresh_every = 1000
+    wpipe.run_streaming(available_now=True)
 
     table = LakeTable.create(
         spark, os.path.join(work, "lake"), REPOS_SCHEMA, REPOS_KEY_FIELDS,
