@@ -85,11 +85,12 @@ def test_near_dup_lsh_is_bucketed_join_with_one_arrow_kernel(spark):
 
 def test_ivf_ann_joins_on_cell(spark):
     """IVF search joins corpus to queries on the coarse cell id (hash
-    join on _cell), not a cross product; centroid dots are literal
-    column expressions, no Python."""
+    join on _cell), not a cross product; cell assignment is an Arrow
+    argmax-matmul kernel (never row-at-a-time Python — interpreted
+    HOF centroid dots cost per-row x per-cell x per-dim)."""
     from ton_etl_spark.queries import q_ivf_ann_topk
 
     plan = plan_of(q_ivf_ann_topk(spark, SF))
     assert "_cell" in plan and "HashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

@@ -157,36 +157,55 @@ def signature_probes(
     return F.array(*probes)
 
 
-def ivf_cell_expr(vec_col: str, centroids: list[list[float]]):
-    """Column expression: index (1-based) of the nearest centroid by
-    dot product. Centroids ride in the plan as literal arrays — the
-    same trick as the LSH hyperplanes, so assignment is identical on
-    every executor and across cluster sizes, with zero Python."""
-    v = F.col(vec_col).cast("array<double>")
-    dots = F.transform(
-        F.lit([list(map(float, c)) for c in centroids]), lambda c: _dot(v, c)
-    )
-    return F.array_position(dots, F.array_max(dots)).cast("int")
+def _ivf_assign_udf(centroids: list[list[float]]):
+    """Arrow kernel: 1-based index of the nearest centroid by dot
+    product, computed as one numpy argmax-matmul per batch. Dense
+    linear algebra does NOT belong in Catalyst higher-order functions
+    (they are interpreted — no codegen — so a literal-centroid
+    `transform`/`aggregate` chain costs ~µs per lambda eval, which is
+    per row x per cell x per dim); an Arrow batch matmul is the same
+    deterministic arithmetic at memory bandwidth. Same tradeoff as
+    `_band_signature_udf` above."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
+    C = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
 
-def ivf_probe_expr(vec_col: str, centroids: list[list[float]], nprobe: int):
-    """array<int> of the `nprobe` nearest centroid indices for a query
-    vector (the cells it searches)."""
-    v = F.col(vec_col).cast("array<double>")
-    dots = F.transform(
-        F.lit([list(map(float, c)) for c in centroids]), lambda c: _dot(v, c)
-    )
-    ranked = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(len(centroids))),
-            lambda i: F.struct(
-                (-F.element_at(dots, i)).alias("nd"), i.cast("int").alias("i")
-            ),
+    def assign(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        zero = np.zeros(C.shape[1])
+        m = np.stack(
+            [np.asarray(x, dtype=np.float64) if x is not None else zero for x in vs]
         )
-    )
-    return F.transform(
-        F.slice(ranked, 1, min(nprobe, len(centroids))), lambda s: s["i"]
-    )
+        return pd.Series((m @ C.T).argmax(axis=1).astype("int32") + 1)
+
+    assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "int")
+
+
+def _ivf_probe_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow kernel: array<int> of the (1-based) `nprobe` nearest
+    centroid indices for each query vector — the cells it searches."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    p = min(nprobe, C.shape[0])
+
+    def probes(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        zero = np.zeros(C.shape[1])
+        m = np.stack(
+            [np.asarray(x, dtype=np.float64) if x is not None else zero for x in vs]
+        )
+        # stable top-p by descending dot (ties -> lower cell id first)
+        order = np.argsort(-(m @ C.T), axis=1, kind="stable")[:, :p]
+        return pd.Series([[int(c) + 1 for c in row] for row in order])
+
+    probes.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(probes, "array<int>")
 
 
 def train_centroids(
@@ -195,46 +214,31 @@ def train_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 2,
+    max_sample: int = 65536,
 ) -> list[list[float]]:
-    """Deterministic coarse quantizer: seed cells with the `n_cells`
-    lowest-id vectors, then run `iters` Lloyd steps AS DATAFRAME AGGS
-    (assign = ivf_cell_expr with literal centroids; update = groupBy
-    cell, avg per dimension). Each iteration is one shuffle over
-    n_cells keys; only n_cells * dim floats ever reach the driver — at
-    100 TB this trains on a sample partition, like any IVF build."""
-    seeds = (
+    """Deterministic coarse quantizer: collect the `max_sample`
+    lowest-id vectors (ONE bounded Spark job), seed cells with the
+    first `n_cells` of them, then run `iters` Lloyd steps in numpy on
+    the driver. Training an IVF quantizer on a bounded sample is the
+    standard build recipe (the cell structure needs the distribution,
+    not every row); the full corpus is only ever touched by the
+    assignment kernel at search/index time. Deterministic given the
+    data: the sample is an id-ordered prefix, no RNG."""
+    rows = (
         df.orderBy(id_col)
-        .limit(n_cells)
+        .limit(max_sample)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
-    centroids = [r["v"] for r in seeds]
+    m = np.asarray([r["v"] for r in rows], dtype=np.float64)  # (n, dim)
+    C = m[:n_cells].copy()
     for _ in range(iters):
-        # Lloyd update: explode the vector to (cell, dim_pos, value) and
-        # average per (cell, pos) — 3 expressions instead of `dim`
-        # aggregate columns (64 avg aggs cost multiple seconds of
-        # analysis per iteration); the shuffle carries n_cells*dim keys
-        # the cell assignment MUST be materialized in its own projection
-        # below the explode: putting it in the same select as posexplode
-        # re-evaluates the centroid-dot expression once per GENERATED
-        # row (dim x overhead — measured 10.6 s vs 1.3 s here)
-        assigned = df.select(
-            ivf_cell_expr(vec_col, centroids).alias("_cell"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-        )
-        rows = (
-            assigned.select(
-                "_cell", F.posexplode("_v").alias("_pos", "_x")
-            )
-            .groupBy("_cell", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
-        new = [list(c) for c in centroids]
-        for r in rows:
-            new[r["_cell"] - 1][r["_pos"]] = r["_m"]
-        centroids = new
-    return centroids
+        cell = (m @ C.T).argmax(axis=1)
+        for c in range(C.shape[0]):
+            members = m[cell == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in C]
 
 
 def ivf_ann_topk(
@@ -251,19 +255,23 @@ def ivf_ann_topk(
     nearest cells, exactly (same cosine as the brute-force kernel).
 
     Scale shape: the corpus is partitioned by `_cell` (at rest:
-    `.write.bucketBy(n_cells, "_cell")` — the assignment expression is
+    `.write.bucketBy(n_cells, "_cell")` — the assignment kernel is
     deterministic so the bucketing survives re-reads), queries
     broadcast with their probe lists exploded, and the join fans each
-    query out to nprobe/n_cells of the data instead of all of it."""
+    query out to nprobe/n_cells of the data instead of all of it.
+    Cell assignment/probing are Arrow argmax-matmul kernels (see
+    `_ivf_assign_udf` for why not literal-centroid HOF expressions)."""
     vcell = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vv"),
-        ivf_cell_expr(vec_col, centroids).alias("_cell"),
+        _ivf_assign_udf(centroids)(F.col(vec_col)).alias("_cell"),
     )
     qprobe = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(ivf_probe_expr(vec_col, centroids, nprobe)).alias("_cell"),
+        F.explode(
+            _ivf_probe_udf(centroids, nprobe)(F.col(vec_col))
+        ).alias("_cell"),
     )
     scored = vcell.join(F.broadcast(qprobe), on="_cell").select(
         "query_id",
