@@ -119,6 +119,29 @@ def test_jaccard_exact_values(spark):
     assert out[(1, 3)] < 0.1
 
 
+def test_minhash_near_dup_equals_exact_all_pairs(spark):
+    """The verified pipeline (LSH candidates -> exact jaccard filter)
+    must equal the exact all-pairs answer: precision is structural
+    (every pair re-verified), and single-row-band recall at t=0.8 with
+    16 perms misses a pair w.p. (1-t)^16 < 1e-11 — deterministic per
+    corpus since xxhash64 is seeded. This is what lets the query share
+    the brute-force DuckDB oracle."""
+    df = docs_df(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_near_dup_pairs(
+            df, "doc_id", "text", threshold=0.7, n_perm=16, bands=16, k=1
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.jaccard_pairs(
+            df, "doc_id", "text", threshold=0.7, k=1
+        ).collect()
+    }
+    assert got == exact and (1, 4) in got
+
+
 def test_simhash_near_dups(spark):
     out = DD.simhash_near_dups(
         docs_df(spark), "doc_id", "text", max_hamming=16

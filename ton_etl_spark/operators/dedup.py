@@ -121,6 +121,45 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_perm: int = 16,
+    bands: int = 16,
+    k: int = 1,
+) -> DataFrame:
+    """The full MinHash dedup pipeline: LSH candidates -> exact k-gram
+    Jaccard verification -> pairs with jaccard >= threshold. Precision
+    is structural (every emitted pair is exactly verified); recall is
+    the LSH candidate recall, (1 - (1 - t^r)^b) at true similarity t
+    with b bands of r = n_perm/bands rows — the defaults (r=1, b=16)
+    make the miss probability at t=0.8 about (1-0.8)^16 ~ 7e-12 per
+    pair, i.e. the output equals the exact all-pairs answer in any run
+    you will ever observe (and deterministically so for a fixed corpus:
+    xxhash64 is seeded). Single-row bands trade more candidates for
+    that recall; tune (n_perm, bands) per corpus similarity profile.
+
+    Scale shape: candidates carry ONLY ids out of the band join; the
+    shingle sets are re-attached afterwards by two id-equi-joins, so
+    the wide text columns never enter the LSH shuffle."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, n_perm, bands, k)
+    sh = shingles(df, id_col, text_col, k)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.array_union(F.col("_sa"), F.col("_sb")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -723,6 +723,33 @@ def q_minhash_lsh_pairs(spark, sf):  # no SQL oracle: xxhash64 is Spark-side
     return DD.lsh_candidate_pairs(docs, "doc_id", "text", n_perm=16, bands=8)
 
 
+def q_minhash_near_dup(spark, sf):
+    """MinHash LSH candidates + exact-jaccard verification: the output
+    is driver-checkable against the all-pairs oracle because verified
+    precision is structural and the single-row-band candidate recall at
+    t>=0.8 misses a pair with probability ~(1-t)^16 (< 1e-11) — checked
+    exhaustively against the exact answer on all three test corpora."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return DD.minhash_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.8, n_perm=16, bands=16, k=1
+    )
+
+
+O_MINHASH_NEAR_DUP = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+  FROM documents WHERE doc_id < 300
+)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.toks, b.toks))
+               / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+  FROM s a, s b WHERE a.doc_id < b.doc_id
+) WHERE jaccard >= 0.8
+"""
+
+
 def q_simhash_pairs(spark, sf):  # no SQL oracle: xxhash64 simhash kernel
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
     return DD.simhash_near_dups(docs, "doc_id", "text", max_hamming=8)
@@ -1187,6 +1214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dup_groups": q_exact_dup_groups,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_near_dup": q_minhash_near_dup,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1229,6 +1257,7 @@ ORACLES: dict[str, str] = {
     "text_analyze": O_TEXT_ANALYZE,
     "exact_dup_groups": O_EXACT_DUP_GROUPS,
     "jaccard_pairs": O_JACCARD_PAIRS,
+    "minhash_near_dup": O_MINHASH_NEAR_DUP,
     "cosine_topk": O_COSINE_TOPK,
     "embedding_norms": O_EMBEDDING_NORMS,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
