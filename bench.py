@@ -54,6 +54,7 @@ HEADLINE = [
     "region_revenue",
     "text_analyze",
     "minhash_lsh_pairs",
+    "minhash_near_dup",
     "simhash_pairs",
     "cosine_topk",
     "embedding_near_dup_lsh",
@@ -149,7 +150,29 @@ def run_cdc_level(cores: int, log_dir: str) -> dict:
     raise RuntimeError(f"cdc level {cores} failed: {last_err}")
 
 
+def acquire_bench_lock():
+    """Refuse to run two benches at once: concurrent benches share
+    .bench_cache/cdc_run_* (each subprocess rmtree's its work dir on
+    start, destroying the other's in-flight run) and, worse, pollute
+    each other's CPU measurements invisibly. The flock dies with the
+    process, so a crashed bench never wedges the next one."""
+    import fcntl
+
+    os.makedirs(CACHE, exist_ok=True)
+    fh = open(os.path.join(CACHE, ".lock"), "w")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        log("another bench.py is already running (lock held on "
+            f"{CACHE}/.lock) — refusing to corrupt its measurements")
+        sys.exit(2)
+    fh.write(str(os.getpid()))
+    fh.flush()
+    return fh  # keep open: lock lives as long as the process
+
+
 def main():
+    lock = acquire_bench_lock()  # noqa: F841 — held for process lifetime
     results: dict = {"sf": SF_DIR, "unit": "sec"}
     log(f"== headline queries at {SF_DIR} on local[{CPUS}]")
     spark = get_spark("bench", cores=CPUS)
