@@ -241,6 +241,39 @@ def q_running_window(spark, sf):
     )
 
 
+def q_user_sessions(spark, sf):
+    """Gap-based session windows (gaps-and-islands): the batch twin of
+    the applyInPandasWithState streaming operator — parity between the
+    two is held by tests/test_streaming_sessions.py, so this oracle row
+    transitively checks the streaming semantics too."""
+    from .operators.sessions import session_windows
+
+    ev = _t(spark, sf, "events")
+    return session_windows(ev, "user_id", "ts", gap_s=28800, value_col="value")
+
+
+O_USER_SESSIONS = """
+WITH x AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events
+), y AS (
+  SELECT user_id, es, value,
+         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 28800
+              THEN 1 ELSE 0 END AS brk
+  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY es)
+), z AS (
+  SELECT user_id, es, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY es
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM y
+)
+SELECT user_id, session_id, min(es) AS session_start_s,
+       max(es) AS session_end_s, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM z GROUP BY user_id, session_id
+"""
+
+
 O_RUNNING_WINDOW = """
 SELECT user_id, event_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1196,6 +1229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exclusion_antijoin": q_exclusion_antijoin,
     "union_convert": q_union_convert,
     "running_window": q_running_window,
+    "user_sessions": q_user_sessions,
     "parent_event": q_parent_event,
     "explode_props": q_explode_props,
     "debezium_roundtrip": q_debezium_roundtrip,
@@ -1240,6 +1274,7 @@ ORACLES: dict[str, str] = {
     "exclusion_antijoin": O_EXCLUSION_ANTIJOIN,
     "union_convert": O_UNION_CONVERT,
     "running_window": O_RUNNING_WINDOW,
+    "user_sessions": O_USER_SESSIONS,
     "parent_event": O_PARENT_EVENT,
     "explode_props": O_EXPLODE_PROPS,
     "debezium_roundtrip": O_DEBEZIUM_ROUNDTRIP,
