@@ -83,6 +83,20 @@ def test_near_dup_lsh_is_bucketed_join_with_one_arrow_kernel(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_session_windows_single_shuffle(spark):
+    """Gaps-and-islands sessions: the two window functions and the
+    final aggregation all reuse ONE hash partitioning on the key —
+    exactly one Exchange in the plan (hashpartitioning(user_id) also
+    satisfies the groupBy(user_id, session_id) distribution), and no
+    Python anywhere."""
+    from ton_etl_spark.queries import q_user_sessions
+
+    plan = plan_of(q_user_sessions(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ivf_ann_joins_on_cell(spark):
     """IVF search joins corpus to queries on the coarse cell id (hash
     join on _cell), not a cross product; cell assignment is an Arrow
