@@ -130,10 +130,16 @@ def main() -> None:
     # events retire the compile debt before the clock at every level
     # (measured: batch-1 wall 58.7 s -> 17.6 s at local[4]).
     wn = int(os.environ.get("BENCH_WARMUP_EVENTS", "1000000"))
-    wlog = os.path.join(work, "warmup_events")
-    generate_event_log(
-        wlog, GenParams(n_events=wn, n_repos=max(wn // 4000, 20), n_files=2)
-    )
+    # the warmup LOG is deterministic and level-independent: cache it
+    # beside the main event log, shared by every run of this bench
+    # (generating 1M events costs ~30-60 s x 6 runs otherwise); the
+    # warmup lake/checkpoint stay per-run in `work` and are wiped above
+    wlog = os.path.join(os.path.dirname(log_dir), f"warmup_{wn}")
+    if not os.path.exists(os.path.join(wlog, "_DONE")):
+        generate_event_log(
+            wlog, GenParams(n_events=wn, n_repos=max(wn // 4000, 20), n_files=2)
+        )
+        open(os.path.join(wlog, "_DONE"), "w").write("ok")
     wtable = LakeTable.create(
         spark, os.path.join(work, "warmup_lake"), REPOS_SCHEMA,
         REPOS_KEY_FIELDS, "lsn", bucket_count=max(cores * 4, 16),
