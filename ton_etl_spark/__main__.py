@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -118,6 +119,15 @@ def main(argv: list[str] | None = None) -> int:
             if getattr(args, "gold", None):
                 from .gold import GoldAssetTvl, GoldDecayedPrice
 
+                # pre-r3 layouts kept the decayed-price table directly
+                # at --gold; silently creating a fresh table one level
+                # down would orphan it and serve an empty datamart
+                if os.path.exists(os.path.join(args.gold, "_current")):
+                    raise SystemExit(
+                        f"--gold {args.gold} holds a legacy single-table "
+                        "layout; move it to <gold>/decayed_price (gold "
+                        "now hosts one subdirectory per table)"
+                    )
                 gold = [
                     GoldDecayedPrice(
                         spark, args.gold + "/decayed_price",

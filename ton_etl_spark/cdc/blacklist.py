@@ -26,10 +26,13 @@ Promotion bookkeeping (still conservative, now replay-proof):
     exclusion no longer hides their well-formed rows);
   * a suspect is promoted only after `min_batches` distinct batches.
 
-Evidence collection is bounded (4096 repos per side per batch). When
-the cap binds, the batch reports it (`bl_bad_capped` in the result
-metrics — the "no silent caps" rule) and the direction is safe: slower
-learning, never wrong exclusion.
+Evidence OUTPUT is capped (4096 repos per side per batch, via a slice
+of the final collect_set); the aggregation buffer itself holds every
+distinct offending repo of the batch, i.e. it is bounded by the
+micro-batch's distinct-repo count (≤ batch rows — tens of MB at
+1M-row batches), not by the cap. When the cap binds, the batch reports
+it (`bl_bad_capped` in the result metrics — the "no silent caps" rule)
+and the direction is safe: slower learning, never wrong exclusion.
 
 The per-batch evidence rides the pipeline's existing control-plane
 aggregation, costing zero extra jobs.

@@ -577,7 +577,14 @@ def apply_batch(
 
     mark("merge_ms", t)
     timings["total_ms"] = int((time.time() - t0) * 1000)
-    result.update(ddl=applied_ddl, salt=salt, timings=timings, **stats)
+    # absolute wall interval of this batch: benchmark CPU attribution
+    # must sample the batch's REAL window, not one reconstructed from
+    # cumulative durations (stream startup + inter-batch bookkeeping
+    # make reconstructed windows drift earlier batch by batch)
+    result.update(
+        ddl=applied_ddl, salt=salt, timings=timings,
+        t_wall=[t0, time.time()], **stats,
+    )
     if gated:
         result["lsn_max_seen"] = row0["_lsn_max_seen"]
         result["n_immature"] = row0["_n_immature"]
@@ -634,7 +641,20 @@ class _MaturityGate:
                 "batch_id": None, "cutoff_used": None,
             }
         with open(p) as f:
-            return json.loads(f.read())
+            raw = f.read()
+        try:
+            return json.loads(raw)
+        except ValueError:
+            # legacy pointer format (bare tag string, pre-JSON): treat
+            # the store as non-empty with unknown stats so the pending
+            # set stays reachable; max_seen=None means no cutoff is
+            # certified until the next commit (strictly conservative)
+            tag = raw.strip() or None
+            return {
+                "tag": tag, "max_seen": None,
+                "n_pending": 1 if tag else 0,
+                "batch_id": None, "cutoff_used": None,
+            }
 
     def max_seen(self) -> int | None:
         return self._meta()["max_seen"]
@@ -678,20 +698,34 @@ class _MaturityGate:
 
         tag = None
         if immature is not None and n_pending > 0:
-            tag = f"v{batch_id}"
-            immature.write.mode("overwrite").parquet(os.path.join(self.dir, tag))
+            # tag is UNIQUE per commit, never reused across replays of
+            # the same batch_id: a replayed epoch's `immature` plan may
+            # read the previous v{batch_id} dir (read_pending unioned
+            # into the split), and mode("overwrite") deletes the files
+            # being read — any recompute of an unpersisted partition
+            # would then see missing input (silent pending loss). Fresh
+            # dir + pointer swap + GC makes the write never alias a
+            # potential read.
+            tag = f"v{batch_id}_{uuid.uuid4().hex[:8]}"
+            immature.write.parquet(os.path.join(self.dir, tag))
+        prev = self._meta().get("tag")
         ptr = os.path.join(self.dir, "_current")
         tmp = ptr + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(json.dumps(
                 {
-                    "tag": tag, "max_seen": max_seen, "n_pending": n_pending,
+                    "tag": tag, "prev_tag": prev, "max_seen": max_seen,
+                    "n_pending": n_pending,
                     "batch_id": batch_id, "cutoff_used": cutoff_used,
                 }
             ))
         os.replace(tmp, ptr)
+        # GC spares the immediately-previous tag too: the CURRENT
+        # batch's plans may still lazily recompute from it (it was this
+        # batch's read_pending input); it dies at the NEXT commit, by
+        # which time the batch that read it has returned.
         for name in os.listdir(self.dir):
-            if name.startswith("v") and name != tag:
+            if name.startswith("v") and name not in (tag, prev):
                 shutil.rmtree(os.path.join(self.dir, name), ignore_errors=True)
 
     def cutoff_for_batch(self, batch_id: int) -> int | None:

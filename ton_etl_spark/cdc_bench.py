@@ -201,18 +201,18 @@ def main() -> None:
             "stages": r["timings"],
             "agg_ms": r.get("agg_ms"),
             "write_ms": r.get("write_ms"),
+            "_t_wall": r.get("t_wall"),
         }
         for r in pipe.batch_results
         if not r.get("skipped")
     ]
-    # attach the host CPU mix per batch (windows reconstructed
-    # cumulatively from t0 — batches run back-to-back under
-    # availableNow, and the streaming bookkeeping gap is <1% of wall)
-    cursor = t0
+    # attach the host CPU mix per batch over the batch's RECORDED wall
+    # interval (a cumulative reconstruction from t0 drifted earlier
+    # batch by batch — stream startup + inter-batch bookkeeping are not
+    # in total_ms — so steal landed on the wrong batches)
     for b in batches:
-        b_end = cursor + b["ms"] / 1000.0
-        b["host_cpu"] = sampler.window(cursor, b_end)
-        cursor = b_end
+        tw = b.pop("_t_wall", None)
+        b["host_cpu"] = sampler.window(tw[0], tw[1]) if tw else None
     n_events = sum(b["events"] for b in batches)
     warm = batches[1:] if len(batches) > 1 else batches
     warm_events = sum(b["events"] for b in warm)

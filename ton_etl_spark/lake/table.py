@@ -344,11 +344,15 @@ class LakeTable:
         # ('file:/', 'file:///', 'hdfs://nn/', 's3a://bucket/'); matching
         # raw strings silently zeroed counts on any other rendering,
         # corrupting manifest stats (ADVICE r2)
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
         def norm(u: str) -> str:
+            # unquote: input_file_name() percent-encodes (a root with a
+            # space renders as %20) while the manifest side is a plain
+            # os.path — without decoding, every file under such a root
+            # would land in `missing` and hard-fail the commit
             parsed = urlparse(u)
-            return parsed.path if parsed.scheme else u
+            return unquote(parsed.path) if parsed.scheme else u
 
         by_file = {norm(r["_f"]): r["count"] for r in rows}
         counted: dict[str, int] = {}

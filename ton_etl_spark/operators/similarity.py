@@ -93,18 +93,12 @@ def _plane_dots(vec_col: str, dim: int, n_planes: int, seed: int):
     return F.transform(F.lit(planes), lambda p: _dot(v, p))
 
 
-def hyperplane_signature(
-    df: DataFrame,
-    vec_col: str,
-    dim: int,
-    n_planes: int = 8,
-    seed: int = 42,
-):
-    """Column expression: n_planes-bit random-hyperplane LSH signature.
-    One pass over the dots array (zip with bit weights, sum) — the
-    per-bit element_at spelling re-evaluated the whole dot transform
-    once per bit."""
-    dots = _plane_dots(vec_col, dim, n_planes, seed)
+def _signature_of(dots, n_planes: int):
+    """Fold a plane-dots array into the n_planes-bit signature in one
+    pass (zip with bit weights, sum) — the per-bit element_at spelling
+    re-evaluated the whole dot transform once per bit. Single source of
+    the bit encoding: `signature_probes` MUST bucket with the identical
+    fold or multiprobe recall silently breaks."""
     weights = [float(1 << i) for i in range(n_planes)]
     return F.aggregate(
         F.zip_with(
@@ -115,6 +109,18 @@ def hyperplane_signature(
         F.lit(0.0),
         lambda a, x: a + x,
     ).cast("int")
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+):
+    """Column expression: n_planes-bit random-hyperplane LSH signature
+    (df is unused — kept for call-site symmetry with the operators)."""
+    return _signature_of(_plane_dots(vec_col, dim, n_planes, seed), n_planes)
 
 
 def signature_probes(
@@ -131,16 +137,7 @@ def signature_probes(
     column expressions; margins are computed from the same literal
     planes as the signature."""
     dots = _plane_dots(vec_col, dim, n_planes, seed)
-    weights = [float(1 << i) for i in range(n_planes)]
-    sig = F.aggregate(
-        F.zip_with(
-            dots,
-            F.lit(weights),
-            lambda d, w: F.when(d > 0, w).otherwise(0.0),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    ).cast("int")
+    sig = _signature_of(dots, n_planes)
     ranked = F.array_sort(
         F.zip_with(
             dots,

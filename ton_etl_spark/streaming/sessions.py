@@ -73,8 +73,17 @@ def sessionize_stream(
         out = []
         if state.hasTimedOut:
             s0, l0, n0, v0, sid = state.get
-            out.append(row(sid, s0, l0, n0, v0, "timeout"))
-            state.remove()
+            if s0 is not None:
+                out.append(row(sid, s0, l0, n0, v0, "timeout"))
+            # KEEP the state (open session cleared, ordinal advanced):
+            # state.remove() here would restart the key's session_id at
+            # 1 when it comes back after an idle period, emitting a
+            # duplicate (key, session_id) and breaking join-parity with
+            # the batch operator. The cost is one small tuple per
+            # ever-active key with no further timeout armed — a real
+            # deployment that needs reclamation would arm a long TTL
+            # timeout here and accept ordinal restart past it.
+            state.update((None, None, 0, 0.0, sid + 1))
         else:
             open_ = state.get if state.exists else None
             s0, l0, n0, v0, sid = open_ or (None, None, 0, 0.0, 1)
