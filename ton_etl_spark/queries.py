@@ -150,6 +150,27 @@ FROM events GROUP BY event_type, day
 """
 
 
+def q_hourly_windows(spark, sf):
+    """Tumbling-window rollup via the built-in `window()` expression —
+    the batch twin of the watermarked streaming aggregate
+    (streaming/windows.py); stream/batch parity is held by
+    tests/test_streaming_windows.py, so this oracle row transitively
+    checks the streaming rollup's arithmetic too."""
+    from .streaming.windows import windowed_rollup
+
+    return windowed_rollup(
+        _t(spark, sf, "events"), "ts", "event_type", "value",
+        window_len="1 hour",
+    )
+
+
+O_HOURLY_WINDOWS = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY window_start_s, event_type
+"""
+
+
 def q_chain_signature(spark, sf):
     ev = _t(spark, sf, "events")
     return chain_signature(ev, "user_id", ["ts", "event_id"], "event_type", 4)
@@ -1224,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "decayed_avg": q_decayed_avg,
     "daily_rollup": q_daily_rollup,
+    "hourly_windows": q_hourly_windows,
     "chain_signature": q_chain_signature,
     "except_dedup": q_except_dedup,
     "exclusion_antijoin": q_exclusion_antijoin,
@@ -1269,6 +1291,7 @@ ORACLES: dict[str, str] = {
     "asof_join": O_ASOF_JOIN,
     "decayed_avg": O_DECAYED_AVG,
     "daily_rollup": O_DAILY_ROLLUP,
+    "hourly_windows": O_HOURLY_WINDOWS,
     "chain_signature": O_CHAIN_SIGNATURE,
     "except_dedup": O_EXCEPT_DEDUP,
     "exclusion_antijoin": O_EXCLUSION_ANTIJOIN,
