@@ -54,6 +54,7 @@ HEADLINE = [
     "asof_join",
     "decayed_avg",
     "daily_rollup",
+    "hourly_windows",
     "chain_signature",
     "pricing_summary",
     "region_revenue",
