@@ -1,0 +1,104 @@
+"""Incremental change feed (`LakeTable.read_changes`) + manifest
+file_stats: exactness vs a full-scan oracle, file skipping on the
+steady-state poll, tombstone visibility, stats survival across
+maintenance rewrites, and the no-stats legacy fallback.
+
+The reference exposes increments as Kafka topics re-consumed by
+downstream datamarts (README.md dwh/datamarts flow); here the lake
+itself serves the cursor contract: rows with LSN > cursor, deletes
+included, scanning only files whose recorded LSN range crosses the
+cursor (Iceberg-manifest-style column stats)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ton_etl_spark.lake.merge import merge_into
+
+from test_merge_unit import mk_table, upd, live
+
+
+def _feed(table, since):
+    return {
+        (r["repo"], r["path"]): (r["lsn"], bool(r["_deleted"]))
+        for r in table.read_changes(since).collect()
+    }
+
+
+def test_read_changes_exact_and_file_skipping(spark, tmp_path):
+    t = mk_table(spark, tmp_path, buckets=8)
+    # batch 1: 40 keys spread over all buckets
+    merge_into(t, upd(spark, [
+        {"repo": f"r{i % 5}", "path": f"p{i}", "lsn": i + 1, "op": "c",
+         "content": f"v{i}"}
+        for i in range(40)
+    ]))
+    full_files = len(t.read().inputFiles())
+    # steady-state poll: cursor at head -> nothing new, zero files scanned
+    assert _feed(t, since=40) == {}
+    assert len(t.read_changes(40).inputFiles()) == 0
+
+    # batch 2: touch ONE key -> one bucket rewritten
+    merge_into(t, upd(spark, [
+        {"repo": "r0", "path": "p0", "lsn": 100, "op": "u", "content": "new"}
+    ]))
+    changes = _feed(t, since=40)
+    assert changes == {("r0", "p0"): (100, False)}
+    # oracle: full scan + row filter gives the same rows
+    oracle = {
+        (r["repo"], r["path"]): (r["lsn"], bool(r["_deleted"]))
+        for r in t.read(include_deleted=True).filter(F.col("lsn") > 40).collect()
+    }
+    assert changes == oracle
+    # file skipping: only the rewritten bucket's files are scanned
+    scanned = len(t.read_changes(40).inputFiles())
+    assert 0 < scanned < full_files
+
+    # deletes are visible in the feed
+    merge_into(t, upd(spark, [{"repo": "r1", "path": "p1", "lsn": 200, "op": "d"}]))
+    changes = _feed(t, since=100)
+    assert changes == {("r1", "p1"): (200, True)}
+    assert ("r1", "p1") not in live(t)
+
+
+def test_file_stats_survive_maintenance_and_track_manifest(spark, tmp_path):
+    t = mk_table(spark, tmp_path, buckets=4)
+    merge_into(t, upd(spark, [
+        {"repo": f"r{i}", "path": f"p{i}", "lsn": i + 1, "op": "c", "content": "x"}
+        for i in range(20)
+    ]))
+    merge_into(t, upd(spark, [
+        {"repo": "r0", "path": "p0", "lsn": 50, "op": "u", "content": "y"}
+    ]))
+    t.compact(max_files=1)
+    m = t.manifest()
+    manifest_files = {p for fl in m["buckets"].values() for p in fl}
+    # stats cover exactly the live file set, with sane LSN ranges
+    assert set(m["file_stats"]) == manifest_files
+    for rows, vmin, vmax in m["file_stats"].values():
+        assert rows > 0 and 1 <= vmin <= vmax <= 50
+    # feed still exact after the rewrite (compaction must not re-surface
+    # old rows: their LSNs are unchanged)
+    assert _feed(t, since=20) == {("r0", "p0"): (50, False)}
+
+
+def test_read_changes_without_stats_falls_back_to_full_scan(spark, tmp_path):
+    t = mk_table(spark, tmp_path, buckets=4)
+    merge_into(t, upd(spark, [
+        {"repo": f"r{i}", "path": f"p{i}", "lsn": i + 1, "op": "c", "content": "x"}
+        for i in range(10)
+    ]))
+    # simulate a pre-stats manifest
+    v = t.current_version()
+    mp = os.path.join(str(tmp_path / "t"), "_versions", f"v{v}.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m.pop("file_stats", None)
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    # no pruning possible, but the result is still exact
+    assert _feed(t, since=8) == {
+        ("r8", "p8"): (9, False), ("r9", "p9"): (10, False),
+    }
+    assert len(t.read_changes(8).inputFiles()) == len(t.read().inputFiles())

@@ -294,7 +294,9 @@ def merge_into(
     # the SAME Murmur3 hash HashPartitioning uses — each task holds
     # whole buckets already (requires bucket_count % shuffle.partitions
     # == 0 for perfect alignment; misalignment only costs extra files).
-    file_map, rows_map = table.write_buckets(resolved, "_bucket", new_version)
+    file_map, rows_map, stats_map = table.write_buckets(
+        resolved, "_bucket", new_version
+    )
     write_ms = int((time.time() - t_write) * 1000)
     if persisted:
         deduped.unpersist()
@@ -327,6 +329,7 @@ def merge_into(
         batch_id=batch_id if batch_id is not None else m["batch_id"],
         buckets=new_buckets,
         bucket_rows=new_bucket_rows,
+        file_stats=LakeTable.updated_file_stats(m, new_buckets, stats_map),
         lineage={
             "type": "merge",
             "strategy": strategy,

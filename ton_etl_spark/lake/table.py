@@ -103,6 +103,7 @@ class LakeTable:
             "bucket_count": bucket_count,
             "buckets": {},
             "bucket_rows": {},
+            "file_stats": {},
             "lineage": {},
         }
         t = LakeTable(spark, root)
@@ -244,6 +245,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         version: int | None = None,
         include_deleted: bool = False,
+        min_version_exclusive: int | None = None,
     ) -> DataFrame:
         """Read the table (or selected buckets) aligned to the manifest schema.
 
@@ -253,6 +255,11 @@ class LakeTable:
         require a rewrite. Tombstoned rows are filtered unless
         `include_deleted` (the merge path reads them to keep LSN guards
         effective across deletes).
+
+        `min_version_exclusive` skips whole files whose recorded
+        version-field max is <= the cutoff (manifest file_stats) — file
+        skipping only, NOT a row filter; callers wanting exact semantics
+        use `read_changes`, which adds the residual predicate.
         """
         if version is not None and version < self.vacuum_horizon():
             raise ValueError(
@@ -260,10 +267,21 @@ class LakeTable:
                 f"is v{self.vacuum_horizon()})"
             )
         m = self.manifest(version)
+        fstats = m.get("file_stats", {})
+
+        def skip(p: str) -> bool:
+            if min_version_exclusive is None:
+                return False
+            st = fstats.get(p)
+            # no stats recorded -> must read the file
+            return st is not None and st[2] is not None and st[2] <= min_version_exclusive
+
         files: list[str] = []
         for b, flist in m["buckets"].items():
             if buckets is None or int(b) in buckets:
-                files.extend(os.path.join(self.root, p) for p in flist)
+                files.extend(
+                    os.path.join(self.root, p) for p in flist if not skip(p)
+                )
         phys = self._phys_schema(m)
         logical = self.schema(version, include_system=True)
         if not files:
@@ -282,10 +300,14 @@ class LakeTable:
 
     def write_buckets(
         self, df: DataFrame, bucket_col: str, version: int
-    ) -> tuple[dict[str, list[str]], dict[str, int]]:
+    ) -> tuple[dict[str, list[str]], dict[str, int], dict[str, list]]:
         """Write `df` partitioned by bucket under data/v<version>/ and return
-        ({bucket: [relative file paths]}, {bucket: row count}) for the
-        manifest. Physical column names (f<id>) are applied here."""
+        ({bucket: [relative file paths]}, {bucket: row count},
+        {relative file path: [rows, min_vf, max_vf]}) for the manifest.
+        Physical column names (f<id>) are applied here. The per-file
+        version-field range powers file skipping in `read_changes`
+        (Iceberg-manifest-style column stats, collected from the parquet
+        footers the commit already reads for row counts — no extra I/O)."""
         m = self.manifest()
         out_dir = os.path.join(self.root, "data", f"v{version}")
         phys_cols = [
@@ -304,39 +326,82 @@ class LakeTable:
                 os.path.relpath(p, self.root)
                 for p in glob.glob(os.path.join(d, "*.parquet"))
             ]
-        return out, self._bucket_row_counts(out)
+        rows_map, stats_map = self._footer_scan(out, m)
+        return out, rows_map, stats_map
 
-    def _bucket_row_counts(self, file_map: dict[str, list[str]]) -> dict[str, int]:
-        """Per-bucket row counts of freshly written files, WITHOUT a
-        serial driver loop over parquet footers (the O(files) per-commit
-        driver I/O was the pipeline's serial floor). Small commits (the
-        streaming steady state) read footers concurrently on the driver;
-        large commits use one distributed metadata-only Spark job
-        (count over a parquet scan with no data columns = footer row
-        counts, no data pages)."""
+    def _vf_phys(self, m: dict) -> str | None:
+        for f in m["fields"]:
+            if f["name"] == m["version_field"]:
+                return f"f{f['id']}"
+        return None
+
+    def _footer_scan(
+        self, file_map: dict[str, list[str]], m: dict
+    ) -> tuple[dict[str, int], dict[str, list]]:
+        """Per-bucket row counts AND per-file version-field min/max of
+        freshly written files, WITHOUT a serial driver loop over parquet
+        footers (the O(files) per-commit driver I/O was the pipeline's
+        serial floor). Small commits (the streaming steady state) read
+        footers concurrently on the driver; large commits use one
+        distributed Spark job (count + min/max over the single version
+        column — footer row counts plus one bigint column's pages).
+        Stats are recorded only for integer version fields (the engine's
+        LSN discipline); anything else degrades to rows-only."""
         import pyarrow.parquet as pq
 
+        vf_phys = self._vf_phys(m)
         n_files = sum(len(v) for v in file_map.values())
         if n_files == 0:
-            return {}
+            return {}, {}
         if n_files <= 256:
             from concurrent.futures import ThreadPoolExecutor
 
-            def count_one(p: str) -> int:
-                return pq.read_metadata(os.path.join(self.root, p)).num_rows
+            def scan_one(p: str) -> tuple[int, int | None, int | None]:
+                md = pq.read_metadata(os.path.join(self.root, p))
+                vmin = vmax = None
+                col_idx = None
+                if vf_phys is not None:
+                    for i in range(md.num_columns):
+                        if md.schema.column(i).name == vf_phys:
+                            col_idx = i
+                            break
+                if col_idx is not None:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(col_idx).statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or not isinstance(st.min, int)
+                            or isinstance(st.min, bool)
+                        ):
+                            vmin = vmax = None
+                            break
+                        vmin = st.min if vmin is None else min(vmin, st.min)
+                        vmax = st.max if vmax is None else max(vmax, st.max)
+                return md.num_rows, vmin, vmax
 
+            rows_map: dict[str, int] = {}
+            stats_map: dict[str, list] = {}
             with ThreadPoolExecutor(max_workers=min(32, n_files)) as ex:
-                return {
-                    b: sum(ex.map(count_one, files)) if files else 0
-                    for b, files in file_map.items()
-                }
+                for b, files in file_map.items():
+                    total = 0
+                    for p, (rc, vmin, vmax) in zip(files, ex.map(scan_one, files)):
+                        total += rc
+                        stats_map[p] = [rc, vmin, vmax]
+                    rows_map[b] = total
+            return rows_map, stats_map
         all_files = [
             os.path.join(self.root, p) for fl in file_map.values() for p in fl
         ]
+        aggs = [F.count(F.lit(1)).alias("count")]
+        if vf_phys is not None:
+            aggs += [
+                F.min(vf_phys).alias("_vmin"), F.max(vf_phys).alias("_vmax")
+            ]
         rows = (
             self.spark.read.parquet(*all_files)
             .groupBy(F.input_file_name().alias("_f"))
-            .count()
+            .agg(*aggs)
             .collect()
         )
         # normalize BOTH sides to a scheme-less absolute path:
@@ -354,15 +419,22 @@ class LakeTable:
             parsed = urlparse(u)
             return unquote(parsed.path) if parsed.scheme else u
 
-        by_file = {norm(r["_f"]): r["count"] for r in rows}
+        by_file = {norm(r["_f"]): r for r in rows}
         counted: dict[str, int] = {}
+        stats: dict[str, list] = {}
         missing: list[str] = []
         for b, files in file_map.items():
             total = 0
             for p in files:
                 full = norm(os.path.abspath(os.path.join(self.root, p)))
                 if full in by_file:
-                    total += by_file[full]
+                    r = by_file[full]
+                    total += r["count"]
+                    vmin = r["_vmin"] if vf_phys is not None else None
+                    vmax = r["_vmax"] if vf_phys is not None else None
+                    if not isinstance(vmin, int) or isinstance(vmin, bool):
+                        vmin = vmax = None
+                    stats[p] = [r["count"], vmin, vmax]
                 else:
                     missing.append(p)
             counted[b] = total
@@ -373,7 +445,46 @@ class LakeTable:
                 f"bucket row-count scan missed {len(missing)} written "
                 f"file(s), e.g. {missing[:3]}"
             )
-        return counted
+        return counted, stats
+
+    @staticmethod
+    def updated_file_stats(
+        m: dict, new_buckets: dict[str, list[str]], new_stats: dict[str, list]
+    ) -> dict[str, list]:
+        """file_stats for a child manifest: keep stats of carried-over
+        files, add the freshly written ones, drop replaced files."""
+        old = m.get("file_stats", {})
+        live = {p for fl in new_buckets.values() for p in fl}
+        out = {p: old[p] for p in live if p in old}
+        for p, s in new_stats.items():
+            if p in live:
+                out[p] = s
+        return out
+
+    def read_changes(
+        self,
+        since: int,
+        version: int | None = None,
+        include_deleted: bool = True,
+    ) -> DataFrame:
+        """Incremental change feed: rows whose version field (LSN) is
+        strictly greater than `since` — the downstream-consumer contract
+        ("give me everything committed past my cursor"). Because merges
+        are LSN-guarded, a row's LSN is exactly the logical time it last
+        changed, so this IS the change-data-feed; tombstones are included
+        by default so consumers observe deletes. File skipping via the
+        manifest's per-file LSN range (`file_stats`) means a steady-state
+        poll scans only the files the recent commits actually wrote —
+        at 100 TB / 64k buckets that is the handful of rewritten buckets,
+        not the table. Files with no recorded stats are read (safe
+        fallback for pre-stats manifests); the residual row filter below
+        keeps the result exact either way."""
+        df = self.read(
+            version=version,
+            include_deleted=include_deleted,
+            min_version_exclusive=since,
+        )
+        return df.filter(F.col(self.manifest(version)["version_field"]) > since)
 
     # -- maintenance -----------------------------------------------------------
 
@@ -387,7 +498,7 @@ class LakeTable:
             return {"skipped": True, "version": m["version"]}
         df = transform(self.read(buckets=buckets, include_deleted=True))
         new_version = m["version"] + 1
-        file_map, rows_map = self.write_buckets(
+        file_map, rows_map, stats_map = self.write_buckets(
             df.withColumn("_bucket", self.bucket_expr(m)), "_bucket", new_version
         )
         new_buckets = dict(m["buckets"])
@@ -402,6 +513,7 @@ class LakeTable:
                 parent=m["version"],
                 buckets=new_buckets,
                 bucket_rows=new_rows,
+                file_stats=self.updated_file_stats(m, new_buckets, stats_map),
                 lineage={"type": note, "buckets": sorted(buckets)},
             )
         )
