@@ -1,0 +1,77 @@
+"""Hash sampling / splits: determinism, disjoint-exhaustive splits,
+proportion concentration, salt independence, engine-portable SQL."""
+
+import duckdb
+import pytest
+
+from ton_etl_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    split_case_sql,
+    split_thresholds,
+    threshold_hex,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2000)], "doc_id long, text string"
+    )
+
+
+def test_sample_is_deterministic_and_proportional(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    assert a == b
+    # binomial(2000, .3): 6 sigma ~ 123
+    assert abs(len(a) - 600) < 130
+    # a smaller fraction with the same salt is a SUBSET (nested samples)
+    c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    assert c <= a
+    # a different salt draws an (approximately) independent sample
+    d = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, salt="other").collect()}
+    assert d != a
+
+
+def test_split_disjoint_exhaustive_and_stable(docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(docs, "doc_id", w).collect()
+    assert len(out) == 2000
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == set(w)
+    assert sum(len(v) for v in by.values()) == 2000  # exhaustive+disjoint
+    assert abs(len(by["train"]) - 1600) < 110  # 6 sigma ~ 107
+    # weights normalize: same assignment for 8/1/1 as 0.8/0.1/0.1
+    out2 = hash_split(docs, "doc_id", {"train": 8, "val": 1, "test": 1}).collect()
+    assert {(r["doc_id"], r["split"]) for r in out2} == {
+        (r["doc_id"], r["split"]) for r in out
+    }
+
+
+def test_split_sql_twin_matches_spark(docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    spark_assign = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, "doc_id", w).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT unnest(range(2000)) AS doc_id")
+    duck_assign = set(
+        con.execute(
+            f"SELECT doc_id, {split_case_sql('doc_id', w)} AS s FROM d"
+        ).fetchall()
+    )
+    assert spark_assign == duck_assign
+
+
+def test_threshold_edges():
+    assert threshold_hex(0.0) == "00000000"
+    assert threshold_hex(1.0) == "ffffffff"
+    with pytest.raises(ValueError):
+        threshold_hex(1.5)
+    # last split absorbs rounding and is inclusive of the top bucket
+    ths = split_thresholds({"a": 0.5, "b": 0.5})
+    assert ths[-1] == ("b", "ffffffff")

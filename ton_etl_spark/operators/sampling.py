@@ -1,0 +1,95 @@
+"""Deterministic hash sampling and train/val/test splits.
+
+Training-data pipelines need samples and splits that are (a)
+reproducible run-to-run, (b) stable under repartitioning and input
+order, (c) consistent ACROSS engines, so the curation job and the
+audit query agree row-for-row. Random `sample()` gives none of these
+— its output depends on partitioning and seed plumbing. Hash sampling
+does: a row is kept iff the leading 32 bits of sha256(salt || id) fall
+below floor(fraction * 2^32).
+
+Engine portability trick: the comparison runs on the 8-char lowercase
+hex PREFIX as a string — fixed-width lowercase hex ordering IS numeric
+ordering — so the exact same predicate is one line of ANSI SQL
+(`substr(sha256(salt || id), 1, 8) < '<hex threshold>'`), which is how
+the DuckDB oracles check these operators bit-for-bit.
+
+Scale shape: pure JVM column expressions (sha2 is codegen'd), zero
+shuffles, predicate evaluates at the scan — sampling 100 TB is a
+filter, not a job. Different salts give independent samples; the same
+salt gives the same rows forever (splits never leak across epochs or
+reruns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_SPACE = 16 ** 8  # 2^32 — the sampled prefix width
+
+
+def bucket_hex(id_col: str, salt: str) -> Column:
+    """8-hex-char bucket of a row id: substring(sha256(salt||id), 1, 8)."""
+    return F.substring(
+        F.sha2(F.concat(F.lit(salt), F.col(id_col).cast("string")), 256), 1, 8
+    )
+
+
+def threshold_hex(fraction: float) -> str:
+    """Hex threshold such that P(bucket < threshold) == fraction
+    (exactly floor(fraction * 2^32) / 2^32)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample-v1"
+) -> DataFrame:
+    """Deterministic ~`fraction` sample, stable across runs/engines."""
+    return df.filter(bucket_hex(id_col, salt) < F.lit(threshold_hex(fraction)))
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """[(split_name, upper hex bound)] for cumulative weights; the last
+    split absorbs rounding (its bound is 2^32 - 1 inclusive)."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    names = list(weights)
+    out, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, threshold_hex(cum)))
+    out.append((names[-1], "f" * 8))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Adds `split_col` assigning each row to one split by hash bucket —
+    disjoint, exhaustive, reproducible, engine-portable."""
+    b = bucket_hex(id_col, salt)
+    expr = None
+    for name, bound in split_thresholds(weights)[:-1]:
+        cond = b < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = list(weights)[-1]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def split_case_sql(id_col: str, weights: dict[str, float], salt: str = "split-v1") -> str:
+    """The ANSI-SQL CASE expression computing the identical split —
+    used by the DuckDB oracles to verify `hash_split` bit-for-bit."""
+    b = f"substr(sha256(concat('{salt}', CAST({id_col} AS VARCHAR))), 1, 8)"
+    parts = []
+    for name, bound in split_thresholds(weights)[:-1]:
+        parts.append(f"WHEN {b} < '{bound}' THEN '{name}'")
+    last = list(weights)[-1]
+    return "CASE " + " ".join(parts) + f" ELSE '{last}' END"

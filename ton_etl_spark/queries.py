@@ -1239,6 +1239,59 @@ def q_cdc_replay_demo(spark, sf):  # the engine itself, small replay
 # registry
 # ---------------------------------------------------------------------------
 
+def q_hash_sample(spark, sf):
+    """Deterministic 20% corpus sample: keep iff the leading 32 bits of
+    sha256(salt || doc_id) fall under floor(0.2 * 2^32). Reproducible,
+    partitioning-independent, engine-portable (the oracle runs the
+    byte-identical predicate in DuckDB) — the sampling contract a
+    training pipeline needs for auditable subsets. Pure codegen'd
+    column expressions, zero shuffles: sampling 100 TB is a filter."""
+    from .operators.sampling import hash_sample
+
+    return hash_sample(
+        _t(spark, sf, "documents"), "doc_id", 0.2, salt="sample-v1"
+    ).select("doc_id", "lang")
+
+
+def _o_hash_sample() -> str:
+    from .operators.sampling import threshold_hex
+
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(sha256(concat('sample-v1', CAST(doc_id AS VARCHAR))), 1, 8)
+      < '{threshold_hex(0.2)}'
+"""
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split_counts(spark, sf):
+    """Hash-bucketed train/val/test split (80/10/10 by doc_id, salt
+    'split-v1'): disjoint, exhaustive, stable forever under the same
+    salt — no split leakage across reruns. Aggregated per (split, lang)
+    so the oracle checks every row's assignment without emitting the
+    corpus."""
+    from .operators.sampling import hash_split
+
+    docs = hash_split(_t(spark, sf, "documents"), "doc_id", _SPLIT_WEIGHTS)
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _o_split_counts() -> str:
+    from .operators.sampling import split_case_sql
+
+    case = split_case_sql("doc_id", _SPLIT_WEIGHTS)
+    return f"""
+SELECT {case} AS split, lang, count(*) AS n_docs,
+       sum(n_chars) AS sum_chars
+FROM documents GROUP BY split, lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -1283,9 +1336,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_sql": q_cdc_replay_sql,
     "top_tvl_tokens": q_top_tvl_tokens,
     "cdc_replay_demo": q_cdc_replay_demo,
+    "hash_sample": q_hash_sample,
+    "split_counts": q_split_counts,
 }
 
 ORACLES: dict[str, str] = {
+    "hash_sample": _o_hash_sample(),
+    "split_counts": _o_split_counts(),
     "latest_state": O_LATEST_STATE,
     "state_dedup": O_STATE_DEDUP,
     "asof_join": O_ASOF_JOIN,
