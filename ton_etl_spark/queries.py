@@ -1292,6 +1292,36 @@ FROM documents GROUP BY split, lang
 """
 
 
+def q_value_percentiles(spark, sf):
+    """Per-type latency/value profile: exact p50/p90/p99 (Spark
+    `percentile` = linear interpolation, the same contract as DuckDB
+    `quantile_cont`, so the oracle matches bit-for-bit after the
+    shared 6-decimal rounding discipline). Exact percentiles sort each
+    group — fine for a bounded metrics mart; at 100 TB the one-pass
+    path is `percentile_approx` (KLL-style sketch, bounded memory per
+    group), same query shape, engine-specific values (no oracle)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+O_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -1338,11 +1368,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_replay_demo": q_cdc_replay_demo,
     "hash_sample": q_hash_sample,
     "split_counts": q_split_counts,
+    "value_percentiles": q_value_percentiles,
 }
 
 ORACLES: dict[str, str] = {
     "hash_sample": _o_hash_sample(),
     "split_counts": _o_split_counts(),
+    "value_percentiles": O_VALUE_PERCENTILES,
     "latest_state": O_LATEST_STATE,
     "state_dedup": O_STATE_DEDUP,
     "asof_join": O_ASOF_JOIN,
