@@ -55,6 +55,8 @@ HEADLINE = [
     "decayed_avg",
     "daily_rollup",
     "hourly_windows",
+    "value_percentiles",
+    "split_counts",
     "chain_signature",
     "pricing_summary",
     "region_revenue",

@@ -87,3 +87,44 @@ def test_compact_merges_fragmented_buckets(spark, tmp_path):
     assert live(t) == state_before
     m2 = t.manifest()
     assert all(len(fl) <= 1 for fl in m2["buckets"].values())
+
+
+def test_rebucket_preserves_rows_and_future_merges(spark, tmp_path):
+    t = mk_table(spark, tmp_path, buckets=4)
+    merge_into(t, upd(spark, [
+        {"repo": f"r{i % 7}", "path": f"p{i}", "lsn": i + 1, "op": "c",
+         "content": f"v{i}"}
+        for i in range(50)
+    ]))
+    merge_into(t, upd(spark, [{"repo": "r0", "path": "p0", "lsn": 99, "op": "d"}]))
+    before = live(t)
+    before_all = t.read(include_deleted=True).count()
+
+    res = t.rebucket(16)
+    assert res["from"] == 4 and res["to"] == 16
+    m = t.manifest()
+    assert m["bucket_count"] == 16
+    assert live(t) == before
+    # tombstones survive the rewrite (LSN guards stay effective)
+    assert t.read(include_deleted=True).count() == before_all
+    # rows actually land in their new buckets (manifest counts vs data)
+    total = sum(m["bucket_rows"].values())
+    assert total == before_all
+    assert sum(1 for fl in m["buckets"].values() if fl) > 4
+
+    # merges keep working under the new layout, including the delete guard
+    merge_into(t, upd(spark, [
+        {"repo": "r0", "path": "p0", "lsn": 50, "op": "u", "content": "late"},
+        {"repo": "r1", "path": "p1", "lsn": 200, "op": "u", "content": "new"},
+    ]))
+    after = live(t)
+    assert ("r0", "p0") not in after          # late pre-delete event loses
+    assert after[("r1", "p1")] == (200, "new")
+    # change feed still exact across the rebucket boundary
+    feed = {
+        (r["repo"], r["path"]): r["lsn"]
+        for r in t.read_changes(99).collect()
+    }
+    assert feed == {("r1", "p1"): 200}
+    # same-count rebucket is a no-op
+    assert t.rebucket(16)["skipped"]

@@ -108,3 +108,18 @@ def test_ivf_ann_joins_on_cell(spark):
     assert "_cell" in plan and "HashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_hash_sampling_is_shuffle_free_and_jvm_only(spark):
+    from ton_etl_spark.operators.sampling import hash_sample, hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sampled = hash_sample(docs, "doc_id", 0.2)
+    plan = plan_of(sampled)
+    # a deterministic sample is a filter at the scan: no shuffle, no Python
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    plan = plan_of(split)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
     h = sub.add_parser("history")
     h.add_argument("--lake", required=True)
 
+    fd = sub.add_parser(
+        "feed", help="change feed: rows with LSN > --since (deletes visible)"
+    )
+    fd.add_argument("--lake", required=True)
+    fd.add_argument("--since", type=int, required=True)
+    fd.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -106,6 +113,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "history":
         for h in table.history():
             print(json.dumps(h))
+        return 0
+    if args.cmd == "feed":
+        feed = table.read_changes(args.since)
+        feed.orderBy(table.version_field()).show(args.limit, truncate=40)
+        print(json.dumps({
+            "since": args.since,
+            "rows": feed.count(),
+            "files_scanned": len(feed.inputFiles()),
+        }))
         return 0
 
     from .cdc.pipeline import CdcPipeline

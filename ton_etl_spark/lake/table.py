@@ -562,6 +562,57 @@ class LakeTable:
 
         return self._rewrite_buckets(buckets, drop, "purge_tombstones")
 
+    def rebucket(self, new_bucket_count: int) -> dict:
+        """Rewrite the table under a new bucket count — the escape hatch
+        when data outgrows the layout (a table bootstrapped at 32
+        buckets needs 64k at full scale: more write parallelism, finer
+        merge pruning). One full shuffle + rewrite, committed atomically
+        like any other version; readers on the old snapshot are
+        unaffected, and the next merge picks up the new `bucket_count`
+        from the manifest (bucket_expr derives from it). Iceberg calls
+        this rewriting to a new partition spec; the reference's
+        analogue is the repartition/CTAS maintenance jobs
+        (datalake/repartition.py, metadata_snapshot.py bucketed CTAS)."""
+        m = self.manifest()
+        if new_bucket_count == m["bucket_count"]:
+            return {"skipped": True, "version": m["version"]}
+        if new_bucket_count < 1:
+            raise ValueError(f"bucket_count must be >= 1, got {new_bucket_count}")
+        df = self.read(include_deleted=True)
+        m2 = dict(m, bucket_count=new_bucket_count)
+        new_version = m["version"] + 1
+        # write_buckets reads the CURRENT manifest for phys columns;
+        # fields are unchanged, only the bucket assignment differs
+        file_map, rows_map, stats_map = self.write_buckets(
+            df.repartition(new_bucket_count, *[F.col(k) for k in m["key_fields"]])
+            .withColumn("_bucket", self.bucket_expr(m2)),
+            "_bucket",
+            new_version,
+        )
+        buckets = {str(b): file_map.get(str(b), []) for b in range(new_bucket_count)}
+        self.commit(
+            dict(
+                m2,
+                version=new_version,
+                parent=m["version"],
+                buckets=buckets,
+                bucket_rows={
+                    str(b): rows_map.get(str(b), 0) for b in range(new_bucket_count)
+                },
+                file_stats=self.updated_file_stats(m, buckets, stats_map),
+                lineage={
+                    "type": "rebucket",
+                    "from": m["bucket_count"],
+                    "to": new_bucket_count,
+                },
+            )
+        )
+        return {
+            "version": new_version,
+            "from": m["bucket_count"],
+            "to": new_bucket_count,
+        }
+
     def compact(self, max_files: int = 1) -> dict:
         """Rewrite buckets fragmented into more than `max_files` files
         (the reference's snapshot/repartition compaction jobs)."""
