@@ -61,6 +61,7 @@ HEADLINE = [
     "pricing_summary",
     "region_revenue",
     "text_analyze",
+    "curation_pipeline",
     "minhash_lsh_pairs",
     "minhash_near_dup",
     "simhash_pairs",

@@ -1322,6 +1322,93 @@ FROM events GROUP BY event_type
 """
 
 
+_CURATE_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_curation_pipeline(spark, sf):
+    """The corpus-curation flagship in ONE declarative plan: quality
+    filter -> exact dedup (canonical representative = min doc_id per
+    content sha) -> deterministic train/val/test split -> per-split
+    rollup. Every stage is an already-oracle-proven kernel (quality =
+    text_analyze's composite, dedup = exact_dup_groups' sha2 grouping,
+    split = hash_split), composed the way a training-data pipeline
+    would run them. Scale shape: one scan, the quality filter runs at
+    the scan before anything shuffles, dedup + rollup are the only two
+    shuffles, zero Python."""
+    from pyspark.sql import Window
+
+    from .operators.sampling import hash_split
+    from .operators.text import quality_score, token_count
+
+    scored = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+            F.sha2(F.col("text"), 256).alias("content_sha"),
+        )
+        .filter(F.col("quality") >= 0.5)
+    )
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
+    canon = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # quality is 6dp-rounded, so sum it as FIXED-POINT integers: a
+    # double sum is order-dependent (1-ulp ties flip the 6th decimal
+    # between engines/partitionings); the integer sum is exact and
+    # associative, making the average deterministic at ANY parallelism
+    q6 = F.round(F.col("quality") * 1e6, 0).cast("long")
+    return (
+        hash_split(canon, "doc_id", _CURATE_WEIGHTS, salt="curate-v1")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(
+                F.sum(q6) / (F.count(F.lit(1)) * F.lit(1000000.0)), 6
+            ).alias("avg_quality"),
+        )
+    )
+
+
+def _o_curation_pipeline() -> str:
+    from .operators.sampling import split_case_sql
+
+    case = split_case_sql("doc_id", _CURATE_WEIGHTS, salt="curate-v1")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         regexp_split_to_array(trim(text), '\\s+') AS wtoks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, len(wtoks) AS n_tokens,
+    round(0.5 * least(len(wtoks) / 100.0, 1.0)
+      + 0.3 * least((len(list_filter(toks, x -> x IN ({_SW})))
+                     / greatest(len(toks), 1)) * 5, 1.0)
+      + 0.2 * (1 - least(((length(text)
+                - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))
+                / greatest(length(text), 1)) * 4, 1.0)), 6) AS quality,
+    sha256(text) AS content_sha
+  FROM t
+), kept AS (
+  SELECT * FROM m WHERE quality >= 0.5
+), canon AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY content_sha ORDER BY doc_id) = 1
+)
+SELECT {case} AS split, lang, count(*) AS n_docs,
+       sum(n_tokens) AS sum_tokens,
+       round(sum(CAST(round(quality * 1000000) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS avg_quality
+FROM canon GROUP BY split, lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -1369,9 +1456,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     "split_counts": q_split_counts,
     "value_percentiles": q_value_percentiles,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES: dict[str, str] = {
+    "curation_pipeline": _o_curation_pipeline(),
     "hash_sample": _o_hash_sample(),
     "split_counts": _o_split_counts(),
     "value_percentiles": O_VALUE_PERCENTILES,
