@@ -127,7 +127,7 @@ def test_consumer_mirrors_table_and_survives_lost_cursor(spark, tmp_path):
         for i in range(10)
     ]))
     r = consumer.poll(_mirror_into(down))
-    assert r["delivered"] and r["cursor"] == 10
+    assert r["delivered"] and r["cursor"] == main.current_version()
     assert live(down) == live(main)
 
     # idle poll: nothing new, no downstream commit, no scan
@@ -141,15 +141,59 @@ def test_consumer_mirrors_table_and_survives_lost_cursor(spark, tmp_path):
         {"repo": "r1", "path": "p1", "lsn": 21, "op": "d"},
     ]))
     r = consumer.poll(_mirror_into(down))
-    assert r["delivered"] and r["cursor"] == 21
+    assert r["delivered"] and r["cursor"] == main.current_version()
     assert live(down) == live(main)
     assert ("r1", "p1") not in live(down)
 
+    # a brand-new key arriving LATE with a LOW LSN (out-of-order
+    # delivery): an LSN-watermark feed would skip it forever; the
+    # version cursor tracks commits, so it flows through
+    merge_into(main, upd(spark, [
+        {"repo": "r9", "path": "late", "lsn": 1, "op": "c", "content": "late"},
+    ]))
+    r = consumer.poll(_mirror_into(down))
+    assert r["delivered"]
+    assert live(down)[("r9", "late")] == (1, "late")
+    assert live(down) == live(main)
+
     # crash AFTER fn, BEFORE cursor commit: rewind the cursor to simulate
-    # the lost commit; redelivery is absorbed by the LSN-guarded merge
-    # (at-least-once + idempotent sink = exactly-once downstream)
-    consumer._commit_cursor(10)
+    # the lost commit; redelivery (including carried rows from rewritten
+    # buckets) is absorbed by the LSN-guarded merge (at-least-once +
+    # idempotent sink = exactly-once downstream)
+    consumer._commit_cursor(1)
     before = live(down)
     r = consumer.poll(_mirror_into(down))
-    assert r["delivered"] and r["cursor"] == 21
+    assert r["delivered"] and r["cursor"] == main.current_version()
     assert live(down) == before == live(main)
+
+
+def test_version_changes_scans_only_new_commit_files(spark, tmp_path):
+    import pytest
+
+    t = mk_table(spark, tmp_path, buckets=8)
+    merge_into(t, upd(spark, [
+        {"repo": f"r{i % 5}", "path": f"p{i}", "lsn": i + 1, "op": "c",
+         "content": f"v{i}"}
+        for i in range(40)
+    ]))
+    merge_into(t, upd(spark, [
+        {"repo": "r0", "path": "p0", "lsn": 100, "op": "u", "content": "new"}
+    ]))
+    feed = t.read_version_changes(1)
+    # only the second commit's files are read (one rewritten bucket)
+    files = feed.inputFiles()
+    assert files and all("/data/v2/" in f for f in files)
+    rows = {(r["repo"], r["path"]): r["lsn"] for r in feed.collect()}
+    assert rows[("r0", "p0")] == 100
+    # carried rows of the rewritten bucket ride along (absorbed downstream)
+    assert len(rows) == feed.count() < 41
+
+    # DDL commits write no files and contribute nothing to the feed
+    t.add_column("notes", "string")
+    assert t.read_version_changes(2).count() == 0
+    assert len(t.read_version_changes(2).inputFiles()) == 0
+
+    # vacuum bounds the feed horizon with a clear re-bootstrap error
+    t.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        t.read_version_changes(0)

@@ -486,6 +486,65 @@ class LakeTable:
         )
         return df.filter(F.col(self.manifest(version)["version_field"]) > since)
 
+    def read_version_changes(
+        self,
+        since_version: int,
+        version: int | None = None,
+        include_deleted: bool = True,
+    ) -> DataFrame:
+        """All rows in files written by commits since_version+1 .. version
+        (default head) — the COMPLETE incremental feed.
+
+        `read_changes` (LSN watermark) is exact but assumes bounded
+        logical-time reorder: a brand-new key arriving late with an LSN
+        below the cursor would be missed forever. A version cursor
+        tracks COMMITS instead, so it is complete under arbitrary event
+        reordering — the trade is redelivery of carried rows from
+        rewritten buckets (copy-on-write copies old rows into new
+        files), which an idempotent LWW sink absorbs. This is the
+        consumer-offset contract: at-least-once, nothing lost — the
+        same pairing the reference uses (Kafka offsets + ON CONFLICT,
+        parser/main.py:85-90, db.py:197-214). Iceberg's incremental
+        snapshot scan has the identical carried-row property on
+        copy-on-write tables.
+
+        Cost shape: per poll, exactly the files the polled commits
+        wrote — in steady state the recently rewritten buckets, never
+        the table. DDL commits write no files and contribute nothing.
+        """
+        v = self.current_version() if version is None else version
+        horizon = self.vacuum_horizon()
+        if since_version + 1 < horizon:
+            raise ValueError(
+                f"version-change feed from v{since_version} expired by "
+                f"vacuum (horizon is v{horizon}); re-bootstrap the "
+                f"consumer from a full read"
+            )
+        m = self.manifest(v)
+        files: list[str] = []
+        for vv in range(since_version + 1, v + 1):
+            mv = self.manifest(vv)
+            pref = os.path.join("data", f"v{vv}") + os.sep
+            for flist in mv["buckets"].values():
+                files.extend(
+                    os.path.join(self.root, p)
+                    for p in flist
+                    if p.startswith(pref)
+                )
+        phys = self._phys_schema(m)
+        logical = self.schema(v, include_system=True)
+        if not files:
+            df = self.spark.createDataFrame([], logical)
+        else:
+            df = self.spark.read.schema(phys).parquet(*files).select(
+                *[F.col(f"f{f['id']}").alias(f["name"]) for f in m["fields"]]
+            )
+        if include_deleted:
+            return df
+        return df.filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        ).drop("_deleted")
+
     # -- maintenance -----------------------------------------------------------
 
     def _rewrite_buckets(
