@@ -380,15 +380,17 @@ class LakeTable:
                         vmax = st.max if vmax is None else max(vmax, st.max)
                 return md.num_rows, vmin, vmax
 
-            rows_map: dict[str, int] = {}
-            stats_map: dict[str, list] = {}
+            # ONE global submission across all buckets: per-bucket map()
+            # calls would serialize the steady-state commit shape (many
+            # buckets x one file each) down to one footer at a time
+            flat = [p for files in file_map.values() for p in files]
             with ThreadPoolExecutor(max_workers=min(32, n_files)) as ex:
-                for b, files in file_map.items():
-                    total = 0
-                    for p, (rc, vmin, vmax) in zip(files, ex.map(scan_one, files)):
-                        total += rc
-                        stats_map[p] = [rc, vmin, vmax]
-                    rows_map[b] = total
+                scanned = dict(zip(flat, ex.map(scan_one, flat)))
+            rows_map = {
+                b: sum(scanned[p][0] for p in files)
+                for b, files in file_map.items()
+            }
+            stats_map = {p: list(s) for p, s in scanned.items()}
             return rows_map, stats_map
         all_files = [
             os.path.join(self.root, p) for fl in file_map.values() for p in fl
