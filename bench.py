@@ -94,14 +94,19 @@ def cdc_event_log() -> tuple[str, int]:
     """Generate (once, cached) the CDC bench event log."""
     from ton_etl_spark.datagen import GenParams, generate_event_log
 
-    # 250k events/file at maxFilesPerTrigger=4 -> micro-batches of 1M
+    # 250k events/file at maxFilesPerTrigger=6 -> micro-batches of 1.5M
     # events regardless of CDC_EVENTS: "warm" is n_batches-1 batches
     # (not 1) and a single host stall lands in one batch instead of
-    # dominating the whole run (r2 verdict "Next round" #3). 1M-event
-    # batches amortize the measured ~4-5 s/batch serial floor (driver
-    # round-trips, control collect, streaming bookkeeping) — the batch
-    # size a real deployment would pick, and far below what a
-    # 1000-executor job would use per trigger.
+    # dominating the whole run (r2 verdict "Next round" #3). Batch size
+    # trades two effects: bigger batches amortize the measured ~2-3
+    # s/batch fixed driver cost at local[4] (control collect, chained-
+    # rename provenance collect, plan analysis — the quiet-host stage
+    # breakdown shows rename scaling 2.5x vs merge 3.3x precisely
+    # because of this floor), smaller batches give more pooled samples.
+    # 1.5M keeps >= 8 pooled warm batches over 3 repeats at the 6M
+    # default while cutting the floor's share per event by a third vs
+    # the 1M config — still far below what a 1000-executor job would
+    # run per trigger.
     params = GenParams(
         n_events=CDC_EVENTS,
         n_repos=max(CDC_EVENTS // 4000, 50),
@@ -140,7 +145,7 @@ def run_cdc_level(cores: int, log_dir: str) -> dict:
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "ton_etl_spark.cdc_bench",
-                 str(cores), log_dir, work, "4"],
+                 str(cores), log_dir, work, "6"],
                 capture_output=True, text=True, timeout=RUN_TIMEOUT,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -255,14 +260,30 @@ def main():
                     "p75": pooled[(3 * n) // 4],
                     "max": pooled[-1],
                 }
-            # "clean" = batches whose sampled host CPU shows <=2% steal:
-            # a MEASURED-interference criterion, not a result-value cut.
-            # Excluded count is always reported (no silent caps).
+            # "clean" = batches whose sampled host CPU shows <=2% steal
+            # AND whose own user+sys is >= 70% of the level's median
+            # (the second mode of hypervisor interference measured here
+            # shows ZERO guest-visible steal while our threads sit
+            # blocked — user% collapses with idle rising; e.g. a 26.7k
+            # batch among 43k siblings at user 8.7% vs 12.9% steady).
+            # Both are MEASURED-interference criteria on the host CPU
+            # mix, never result-value cuts. Excluded counts are always
+            # reported (no silent caps).
             with_cpu = [b for b in warm_batches if b.get("host_cpu")]
+            busys = sorted(
+                b["host_cpu"].get("user", 0.0) + b["host_cpu"].get("sys", 0.0)
+                for b in with_cpu
+            )
+            med_busy = busys[len(busys) // 2] if busys else 0.0
             clean = sorted(
                 b["rate"]
                 for b in with_cpu
                 if b["host_cpu"].get("steal", 0.0) <= 2.0
+                and (
+                    b["host_cpu"].get("user", 0.0)
+                    + b["host_cpu"].get("sys", 0.0)
+                    >= 0.7 * med_busy
+                )
             )
             if with_cpu:
                 med["clean_batch_rates"] = {

@@ -70,6 +70,7 @@ def _rename_candidates(
     data_cols: list[str],
     old_keys_df: DataFrame,
     buckets: list[int],
+    narrow: bool = False,
 ) -> DataFrame:
     """All writes that could be a rename's source: this batch's
     upserts/deletes plus the lake state of the old keys (tombstones
@@ -77,7 +78,15 @@ def _rename_candidates(
 
     The old-key filter is a broadcast semi-join, NOT a giant `isin`
     literal list — thousands of literals embedded in the plan made
-    Catalyst analysis a serial driver-side bottleneck."""
+    Catalyst analysis a serial driver-side bottleneck.
+
+    `narrow=True` projects each side to (repo, path, lsn, _dead) BEFORE
+    the union, so the plan shares no subtree with the persisted wide
+    candidate set: the chained-rename provenance collect must NOT hit
+    the cache, or it materializes the whole wide cache (content decode
+    included) inside its own small driver-blocking job — the wide cache
+    belongs inside the merge action, where it fills under full
+    parallelism."""
     keys_b = F.broadcast(old_keys_df)
     # batch side arrives PRE-FILTERED to old keys (semi-join on the raw
     # events before the Arrow decode — see apply_batch)
@@ -91,6 +100,11 @@ def _rename_candidates(
         .withColumn("_dead", F.coalesce(F.col("_deleted"), F.lit(False)))
         .drop("_deleted")
     )
+    if narrow:
+        shape = ["repo", "path", "lsn", "_dead"]
+        batch_side = batch_side.select(*shape)
+        lake_side = lake_side.select(*shape)
+        return batch_side.unionByName(lake_side)
     return batch_side.unionByName(lake_side, allowMissingColumns=True)
 
 
@@ -210,8 +224,21 @@ def _resolve_renames(
                 "repo string, path string",
             )
         )
+        # provenance collect runs on a structurally-NARROW clone of the
+        # candidate plan (projection inside each union arm), NOT on the
+        # persisted wide `cand`: the cache manager substitutes any
+        # matching subtree, and hitting it here would materialize the
+        # full wide cache (Arrow content decode included) in this small
+        # collect job — measured as the worst-scaling stage of the whole
+        # batch (2.5x at 4 cores vs 3.3x for the merge). Narrow clone =
+        # 3-column pruned scans, no decode; the wide cache fills inside
+        # the merge action under full parallelism.
+        narrow_cand = _rename_candidates(
+            table, in_batch_upserts, in_batch_deletes, data_cols,
+            old_keys_df, old_key_buckets, narrow=True,
+        )
         rows = (
-            cand.join(ckeys_df, on=["repo", "path"], how="left_semi")
+            narrow_cand.join(ckeys_df, on=["repo", "path"], how="left_semi")
             .select("repo", "path", "lsn", "_dead")
             .collect()
         )

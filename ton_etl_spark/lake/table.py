@@ -24,7 +24,12 @@ implements the same contract on plain parquet:
     ADD COLUMN IF NOT EXISTS`, database/createdb.sql:148,210-218);
   * each commit carries per-bucket lineage (files, row counts, LSN
     range) and a metrics row (north_rule: per-partition commit
-    manifests + lineage + metrics alongside each microbatch).
+    manifests + lineage + metrics alongside each microbatch);
+  * each commit records per-file version-field min/max (`file_stats`,
+    from the footers it already reads for row counts), powering two
+    incremental reads: `read_changes(since_lsn)` — LSN-watermark feed
+    with whole-file skipping — and `read_version_changes(since_version)`
+    — the complete consumer-offset feed (see `lake/consumer.py`).
 
 Layout:
     <root>/_versions/v<N>.json     commit manifests
