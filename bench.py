@@ -94,19 +94,15 @@ def cdc_event_log() -> tuple[str, int]:
     """Generate (once, cached) the CDC bench event log."""
     from ton_etl_spark.datagen import GenParams, generate_event_log
 
-    # 250k events/file at maxFilesPerTrigger=6 -> micro-batches of 1.5M
+    # 250k events/file at maxFilesPerTrigger=4 -> micro-batches of 1M
     # events regardless of CDC_EVENTS: "warm" is n_batches-1 batches
     # (not 1) and a single host stall lands in one batch instead of
     # dominating the whole run (r2 verdict "Next round" #3). Batch size
-    # trades two effects: bigger batches amortize the measured ~2-3
-    # s/batch fixed driver cost at local[4] (control collect, chained-
-    # rename provenance collect, plan analysis — the quiet-host stage
-    # breakdown shows rename scaling 2.5x vs merge 3.3x precisely
-    # because of this floor), smaller batches give more pooled samples.
-    # 1.5M keeps >= 8 pooled warm batches over 3 repeats at the 6M
-    # default while cutting the floor's share per event by a third vs
-    # the 1M config — still far below what a 1000-executor job would
-    # run per trigger.
+    # was A/B-tested same-window interleaved at local[4] (BENCH.md
+    # 05:45): 1M batches run 7-8% FASTER per event than 1.5M (46.6-46.8k
+    # vs 43.3k ev/s warm) — the larger merge shuffle costs more at 4
+    # cores than the ~2-3 s/batch driver floor it amortizes. 1M also
+    # keeps 15 pooled warm batches per level over 3 repeats.
     params = GenParams(
         n_events=CDC_EVENTS,
         n_repos=max(CDC_EVENTS // 4000, 50),
@@ -145,7 +141,7 @@ def run_cdc_level(cores: int, log_dir: str) -> dict:
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "ton_etl_spark.cdc_bench",
-                 str(cores), log_dir, work, "6"],
+                 str(cores), log_dir, work, "4"],
                 capture_output=True, text=True, timeout=RUN_TIMEOUT,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
