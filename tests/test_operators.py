@@ -277,17 +277,51 @@ def test_cosine_near_dup_exact_and_lsh_agree(spark):
 
 # -- multimodal plumbing ----------------------------------------------------
 
-def test_media_features_shapes_and_strict_stub(spark):
+def test_media_features_real_decode_and_strict_stub(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i} " * 10) for i in range(9)], "doc_id long, text string"
     )
     media = MM.synthesize_media(docs)
-    feats = MM.extract_features(media, feature_dim=4).collect()
+    feats = {r["media_id"]: r for r in
+             MM.extract_features(media, feature_dim=4).collect()}
     assert len(feats) == 9
-    assert all(len(r["feature"]) == 4 and r["is_fake_decode"] for r in feats)
-    assert all(r["n_bytes"] > 0 for r in feats)
-    with pytest.raises(Exception):
+    for mid, r in feats.items():
+        assert len(r["feature"]) == 4 and r["n_bytes"] > 0
+        if mid % 3 == 0:   # image: REAL BMP decode (header + pixel walk)
+            assert not r["is_fake_decode"]
+            assert (r["width"], r["height"]) == (16 + mid % 64, 16 + mid % 48)
+            rr, gg, bb = mid % 256, (mid * 7) % 256, (mid * 13) % 256
+            assert r["luma_milli"] == 299 * rr + 587 * gg + 114 * bb
+            # constant-color image -> every feature bucket is the BGR mean
+            exp = (rr + gg + bb) / 3.0 / 255.0
+            assert all(abs(f - exp) < 0.05 for f in r["feature"])
+        elif mid % 3 == 1:  # audio: REAL WAV decode (RIFF chunk walk)
+            assert not r["is_fake_decode"]
+            assert r["duration_ms"] == 25 + mid % 1200
+            assert r["rms"] == float(1000 + mid % 20000)  # square wave
+        else:               # video: honestly-stubbed fake path, flagged
+            assert r["is_fake_decode"]
+            assert r["rms"] is None and r["width"] is None
+    with pytest.raises(Exception):  # strict raises at the video stub
         MM.extract_features(media, strict=True).collect()
+
+
+def test_media_decoders_reject_malformed():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        MM._decode_wav(b"RIFFxxxxWAVE")  # no fmt/data chunks
+    # 8-bit BMP is out of the decoder's contract -> explicit error
+    bad = bytearray(MM._bmp_bytes(0))
+    bad[28] = 8
+    with pytest.raises(ValueError):
+        MM._decode_bmp(bytes(bad))
+    # decoder is a true round-trip through the container, incl. padding
+    w, h, luma = MM._decode_bmp(MM._bmp_bytes(17))  # w=33 -> padded rows
+    assert (w, h) == (16 + 17 % 64, 16 + 17 % 48)
+    dur, rms, s = MM._decode_wav(MM._wav_bytes(4))
+    assert dur == 25 + 4 % 1200 and rms == 1004.0
+    assert isinstance(s, np.ndarray) and len(s) == 400 + (4 % 1200) * 16
 
 
 def test_frame_sampling_counts(spark):

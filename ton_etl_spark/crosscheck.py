@@ -36,8 +36,11 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # rounded upstream; normalize representation
-        return f"{v:.9g}"
+        # Exact repr, NOT %.9g: 9-significant-digit collapsing could mask
+        # a 6th-decimal mismatch on values with a >=4-digit integer part
+        # (VERDICT r3 "What's wrong" #2). Upstream rounding discipline
+        # (round(x, 6) / fixed-point sums) makes exact match the contract.
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
@@ -53,6 +56,26 @@ def value_hash(rows, colnames) -> str:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
+
+
+# DuckDB output types the grading driver's value-hash renders differently
+# from Spark's (int128 has no Spark/Arrow-native twin) — an oracle emitting
+# one is a latent red row even when every value is identical. This lint
+# exists because it happened twice: Decimal(38,0) in round 2, HUGEINT
+# integer-SUM widening in round 3 (VERDICT r3 "What's wrong" #1).
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lint_oracle_types(con, sql: str) -> list[str]:
+    """Return problems with the oracle's DuckDB result schema (before any
+    fetch — fetchall() converts HUGEINT to Python int and hides it)."""
+    rel = con.sql(sql)
+    problems = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(b in t for b in _BANNED_ORACLE_TYPES):
+            problems.append(f"{col}: {t} (CAST it to BIGINT in the oracle)")
+    return problems
 
 
 def run_crosscheck(spark, sf_dir: str, names: list[str] | None = None) -> dict:
@@ -81,6 +104,11 @@ def run_crosscheck(spark, sf_dir: str, names: list[str] | None = None) -> dict:
             entry["status"] = "rows_only"
             entry["ok"] = len(srows) >= 0
         else:
+            lint = lint_oracle_types(con, sql)
+            if lint:
+                entry.update(status="ORACLE_LINT", ok=False, lint=lint)
+                out[name] = entry
+                continue
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()

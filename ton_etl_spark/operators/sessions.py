@@ -35,11 +35,18 @@ def session_windows(
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     prev = F.lag(es).over(w)
     is_new = (prev.isNull() | ((es - prev) > gap_s)).cast("long")
+    # Fixed-point micro-units: a raw double SUM is summation-order- (and
+    # therefore partitioning-) dependent — a 1-ulp tie at the 6th decimal
+    # can flip between cluster sizes. Integer addition is associative, so
+    # quantizing each value to round(v * 1e6) BEFORE the sum makes the
+    # aggregate bit-identical at any parallelism (same trick as
+    # queries.q_curation_pipeline's avg_quality).
+    q6 = F.round(F.col(value_col) * F.lit(1000000.0)).cast("long") if value_col else None
     sess = df.select(
         F.col(key_col),
         es.alias("_es"),
         F.sum(is_new).over(run).alias("session_id"),
-        *([F.col(value_col)] if value_col else []),
+        *([q6.alias("_v6")] if value_col else []),
     )
     aggs = [
         F.min("_es").alias("session_start_s"),
@@ -47,5 +54,7 @@ def session_windows(
         F.count(F.lit(1)).alias("n_events"),
     ]
     if value_col:
-        aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
+        aggs.append(
+            F.round(F.sum("_v6") / F.lit(1000000.0), 6).alias("total_value")
+        )
     return sess.groupBy(key_col, "session_id").agg(*aggs)

@@ -283,14 +283,18 @@ WITH x AS (
   FROM x WINDOW w AS (PARTITION BY user_id ORDER BY es)
 ), z AS (
   SELECT user_id, es, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY es
+         -- CAST: DuckDB widens integer window-SUM to HUGEINT (int128);
+         -- the driver's value-hash renders int128 differently from
+         -- Spark BIGINT even when values are identical (r3 red row).
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY es
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_id
+         ) AS BIGINT) AS session_id
   FROM y
 )
 SELECT user_id, session_id, min(es) AS session_start_s,
        max(es) AS session_end_s, count(*) AS n_events,
-       round(sum(value), 6) AS total_value
+       round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+         AS total_value
 FROM z GROUP BY user_id, session_id
 """
 
@@ -970,12 +974,47 @@ def q_approx_distinct_users(spark, sf):  # approx sketch: no cross-engine oracle
     )
 
 
-def q_media_features(spark, sf):  # binary plumbing; decode is env-stubbed
+def q_media_features(spark, sf):
+    """Real multimodal decode round-trip: synthesize_media writes actual
+    BMP / WAV containers whose parameters are closed forms of media_id;
+    extract_features parses the real bytes (numpy header/chunk walk) to
+    recover dimensions, mean luma, duration and RMS; the oracle
+    recomputes every feature from the closed forms — so the decoder is
+    checked through the file format, independent of the writer. Only
+    the video rows remain a flagged fake decode (no ffmpeg here)."""
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     media = MM.synthesize_media(docs)
     return MM.extract_features(media, feature_dim=8).select(
-        "media_id", "kind", "n_bytes", "content_sha", "is_fake_decode"
+        "media_id", "kind", "n_bytes", "width", "height",
+        "duration_ms", "rms", "luma_milli", "is_fake_decode",
     )
+
+
+# Mirrors the synthesis closed forms in operators/multimodal.py (module
+# header there documents them; change both together).
+O_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 3 AS k
+  FROM documents WHERE doc_id < 100
+)
+SELECT media_id,
+  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(CASE k
+    WHEN 0 THEN 54 + (((3 * (16 + media_id % 64) + 3) // 4) * 4)
+                     * (16 + media_id % 48)
+    WHEN 1 THEN 44 + 2 * (400 + (media_id % 1200) * 16)
+    ELSE 20 + media_id % 4096 END AS INTEGER) AS n_bytes,
+  CAST(CASE WHEN k = 0 THEN 16 + media_id % 64 END AS INTEGER) AS width,
+  CAST(CASE WHEN k = 0 THEN 16 + media_id % 48 END AS INTEGER) AS height,
+  CAST(CASE WHEN k = 1 THEN 25 + media_id % 1200 END AS INTEGER)
+    AS duration_ms,
+  CAST(CASE WHEN k = 1 THEN 1000 + media_id % 20000 END AS DOUBLE) AS rms,
+  CAST(CASE WHEN k = 0 THEN 299 * (media_id % 256)
+       + 587 * ((media_id * 7) % 256)
+       + 114 * ((media_id * 13) % 256) END AS BIGINT) AS luma_milli,
+  (k = 2) AS is_fake_decode
+FROM m
+"""
 
 
 def q_cdc_replay_sql(spark, sf):
@@ -1287,7 +1326,7 @@ def _o_split_counts() -> str:
     case = split_case_sql("doc_id", _SPLIT_WEIGHTS)
     return f"""
 SELECT {case} AS split, lang, count(*) AS n_docs,
-       sum(n_chars) AS sum_chars
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY split, lang
 """
 
@@ -1402,7 +1441,7 @@ WITH t AS (
   QUALIFY row_number() OVER (PARTITION BY content_sha ORDER BY doc_id) = 1
 )
 SELECT {case} AS split, lang, count(*) AS n_docs,
-       sum(n_tokens) AS sum_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        round(sum(CAST(round(quality * 1000000) AS BIGINT))
              / (count(*) * 1000000.0), 6) AS avg_quality
 FROM canon GROUP BY split, lang
@@ -1460,6 +1499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "media_features": O_MEDIA_FEATURES,
     "curation_pipeline": _o_curation_pipeline(),
     "hash_sample": _o_hash_sample(),
     "split_counts": _o_split_counts(),

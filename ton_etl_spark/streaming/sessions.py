@@ -21,6 +21,7 @@ operator — the same contract as any watermarked stateful op.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -32,8 +33,19 @@ OUT_FIELDS = (
     "n_events long, total_value double, closed_by string"
 )
 STATE_SCHEMA = (
-    "open_start long, open_last long, n long, vsum double, next_sid long"
+    "open_start long, open_last long, n long, vsum6 long, next_sid long"
 )
+
+
+def _q6(v: float) -> int:
+    """round(v * 1e6) with Spark's F.round semantics: Spark rounds the
+    SHORTEST DECIMAL REPR of the double (BigDecimal.valueOf) HALF_UP —
+    Python's built-in round() is half-even and would break the exact
+    stream==batch parity on a 6th-decimal tie (ADVICE r3). Decimal(repr(x))
+    is the same shortest-repr construction as BigDecimal.valueOf(x)."""
+    return int(
+        Decimal(repr(v * 1000000.0)).quantize(Decimal(1), ROUND_HALF_UP)
+    )
 
 
 def sessionize_stream(
@@ -66,7 +78,12 @@ def sessionize_stream(
                 "session_start_s": s,
                 "session_end_s": e,
                 "n_events": n,
-                "total_value": round(v, 6),
+                # v is an exact integer count of micro-units; /1e6 is the
+                # correctly-rounded double of a <=6-decimal value, which
+                # F.round(..., 6) on the batch side leaves untouched —
+                # bit-identical parity with the batch kernel's
+                # round(sum(v6)/1e6, 6) without any Python rounding.
+                "total_value": v / 1000000.0,
                 "closed_by": how,
             }
 
@@ -83,10 +100,10 @@ def sessionize_stream(
             # ever-active key with no further timeout armed — a real
             # deployment that needs reclamation would arm a long TTL
             # timeout here and accept ordinal restart past it.
-            state.update((None, None, 0, 0.0, sid + 1))
+            state.update((None, None, 0, 0, sid + 1))
         else:
             open_ = state.get if state.exists else None
-            s0, l0, n0, v0, sid = open_ or (None, None, 0, 0.0, 1)
+            s0, l0, n0, v0, sid = open_ or (None, None, 0, 0, 1)
             for pdf in pdfs:
                 # explicit ns path: pandas>=2 may hand Arrow-backed
                 # datetime64[us], where a bare astype("int64") would be
@@ -100,7 +117,7 @@ def sessionize_stream(
                 vals = pdf[value_col].to_numpy()
                 order = es.argsort(kind="stable")
                 for i in order:
-                    t, v = int(es[i]), float(vals[i])
+                    t, v = int(es[i]), _q6(float(vals[i]))
                     if s0 is None:
                         s0, l0, n0, v0 = t, t, 1, v
                     elif t - l0 <= gap_s:
