@@ -88,3 +88,34 @@ def test_blacklist_unit_promotion_rules():
     assert bl3.exclusion_expr(malformed) is not None
     empty = LearnedBlacklist()
     assert empty.exclusion_expr(malformed) is None
+
+
+def test_exclusion_retains_null_repo_rows(spark):
+    """ADVICE r3: once any repo is active, a malformed upsert with NULL
+    repo made the exclusion predicate NULL (tri-valued logic) and the
+    row was silently filtered. Rows the exclusion has no verdict on
+    must pass through to the parsers."""
+    from pyspark.sql import functions as F
+
+    bl = LearnedBlacklist(min_batches=1)
+    bl.observe(["bot"], [], batch_id=0)
+    assert bl.active == {"bot"}
+
+    df = spark.createDataFrame(
+        [
+            ("bot", "file_upsert", None),      # active + malformed: drop
+            ("bot", "file_upsert", "x"),       # active + well-formed: keep
+            (None, "file_upsert", None),       # NULL repo: keep (no verdict)
+            (None, "other", None),             # NULL repo, not upsert: keep
+            ("ok", "file_upsert", None),       # inactive repo: keep
+        ],
+        "repo string, event_type string, payload string",
+    )
+    kept = df.filter(bl.exclusion_expr(F.col("payload").isNull()))
+    got = {(r["repo"], r["event_type"], r["payload"]) for r in kept.collect()}
+    assert got == {
+        ("bot", "file_upsert", "x"),
+        (None, "file_upsert", None),
+        (None, "other", None),
+        ("ok", "file_upsert", None),
+    }

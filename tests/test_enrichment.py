@@ -91,3 +91,46 @@ def test_silver_enrichment_never_drops_rows_and_replay_converges(
     fanout.apply(ev, batch_id=1, types_present={"metadata_event"})
     assert len(meta.history()) == v_before
     assert {r["repo"]: r.asDict() for r in meta.read().collect()} == got
+
+
+def test_preexisting_silver_table_gains_enrichment_columns(spark, tmp_path):
+    """ADVICE r3: constructing an enriched SilverFanout over a silver
+    table CREATED WITHOUT enrichment must not silently drop the
+    enrichment output (merge aligns by name). The fanout now syncs the
+    opened table's schema with idempotent ADD COLUMN commits."""
+    import json as _json
+
+    from ton_etl_spark.cdc.silver import SilverFanout
+    from ton_etl_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    rows = [
+        (
+            1, 1, "u", "metadata_event", "r0", "m",
+            _json.dumps({
+                "name": "tok0", "symbol": "T0",
+                "sources_csv": "j0,a0,m0,Qm0/meta.json,s,6",
+            }),
+        )
+    ]
+    ev = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+    # 1) plain fanout creates the tables WITHOUT enrichment columns
+    plain = SilverFanout(spark, str(tmp_path / "silver"))
+    plain.apply(ev, batch_id=1, types_present={"metadata_event"})
+    assert "enriched" not in plain.tables["metadata"].schema().fieldNames()
+
+    # 2) reopening with resolvers upgrades the schema and keeps the output
+    fanout = SilverFanout(
+        spark, str(tmp_path / "silver"),
+        enrich_resolvers=[("offline", offline_resolver)],
+    )
+    meta = fanout.tables["metadata"]
+    assert "enriched" in meta.schema().fieldNames()
+    # a NEWER write (LWW: the equal-LSN redelivery would correctly lose)
+    ev2 = spark.createDataFrame(
+        [(2, 2) + rows[0][2:]], CHANGE_EVENT_SCHEMA
+    )
+    fanout.apply(ev2, batch_id=2, types_present={"metadata_event"})
+    got = {r["repo"]: r.asDict() for r in meta.read().collect()}
+    assert got["r0"]["enrich_source"] == "offline"
+    assert got["r0"]["enriched"] is not None

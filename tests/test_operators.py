@@ -335,3 +335,32 @@ def test_frame_sampling_counts(spark):
     vid = media.filter(F.col("kind") == "video").collect()[0]
     expected = len(range(0, max(vid["duration_ms"] - 1, 0) + 1, 10_000))
     assert len(frames) == expected
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_approx_distinct_within_documented_rsd(spark, sf):
+    """Backstop for the rows-only approx_distinct_users query: the HLL++
+    sketch (default rsd 0.05) must land within 3*rsd of the exact
+    per-group distinct count at every test SF. The sketch is
+    deterministic for fixed data, so this is a stable bound, not a
+    flaky probabilistic one (VERDICT r3 next-round #7)."""
+    import os
+
+    sf_dir = f"/root/testdata/{sf}"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rsd = 0.05
+    got = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    )
+    assert got, "no groups"
+    for r in got:
+        exact = r["exact_users"]
+        err = abs(r["approx_users"] - exact) / max(exact, 1)
+        assert err <= 3 * rsd, (r["event_type"], r["approx_users"], exact)

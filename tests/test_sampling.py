@@ -69,9 +69,18 @@ def test_split_sql_twin_matches_spark(docs):
 
 def test_threshold_edges():
     assert threshold_hex(0.0) == "00000000"
-    assert threshold_hex(1.0) == "ffffffff"
+    # fraction 1.0 -> the above-all sentinel: every 8-hex bucket sorts
+    # strictly below "g" byte-wise in both Spark and DuckDB, so a full
+    # sample keeps even the "ffffffff" bucket (ADVICE r3: the old
+    # "ffffffff" clamp + strict `<` dropped it)
+    assert threshold_hex(1.0) == "g"
+    assert "ffffffff" < threshold_hex(1.0)
     with pytest.raises(ValueError):
         threshold_hex(1.5)
-    # last split absorbs rounding and is inclusive of the top bucket
+    # last split absorbs rounding via the ELSE arm
     ths = split_thresholds({"a": 0.5, "b": 0.5})
-    assert ths[-1] == ("b", "ffffffff")
+    assert ths[-1] == ("b", "g")
+
+
+def test_full_sample_keeps_every_row(docs):
+    assert hash_sample(docs, "doc_id", 1.0).count() == docs.count()

@@ -71,10 +71,18 @@ class LearnedBlacklist:
         join past ~10^4 entries."""
         if not self.active:
             return None
-        return ~(
-            (F.col("event_type") == "file_upsert")
-            & F.col("repo").isin(sorted(self.active))
-            & malformed
+        # coalesce: isin/malformed can be NULL (e.g. NULL-repo rows),
+        # and NULL propagates through ~(...) into "filtered out" under
+        # SQL tri-valued logic — rows the exclusion has no verdict on
+        # must be explicitly RETAINED (downstream parsers own them),
+        # not dropped as a side effect (ADVICE r3).
+        return F.coalesce(
+            ~(
+                (F.col("event_type") == "file_upsert")
+                & F.col("repo").isin(sorted(self.active))
+                & malformed
+            ),
+            F.lit(True),
         )
 
     def observe(

@@ -212,7 +212,21 @@ class SilverFanout:
                     bucket_count=bucket_count,
                 )
             except FileExistsError:
-                self.tables[s.name] = LakeTable(spark, path)
+                table = LakeTable(spark, path)
+                if enrich_resolvers is not None and s.enrich_uri is not None:
+                    # The table may predate enrichment (created without
+                    # resolvers): merge_into aligns by NAME, so missing
+                    # enrichment columns would be SILENTLY dropped from
+                    # every batch (ADVICE r3). Sync the schema with
+                    # idempotent metadata-only ADD COLUMN IF NOT EXISTS
+                    # commits instead.
+                    have = {f.name for f in table.schema().fields}
+                    for fld in ENRICHED_FIELDS:
+                        if fld.name not in have:
+                            table.add_column(
+                                fld.name, fld.dataType.simpleString()
+                            )
+                self.tables[s.name] = table
 
     def apply(
         self,

@@ -37,10 +37,19 @@ def bucket_hex(id_col: str, salt: str) -> Column:
 
 def threshold_hex(fraction: float) -> str:
     """Hex threshold such that P(bucket < threshold) == fraction
-    (exactly floor(fraction * 2^32) / 2^32)."""
+    (exactly floor(fraction * 2^32) / 2^32). fraction == 1.0 returns
+    the sentinel "g": every 8-char hex bucket (chars in [0-9a-f])
+    sorts strictly below "g" in byte-wise ASCII order in BOTH Spark
+    and DuckDB, so `bucket < 'g'` keeps ALL rows — the old clamp to
+    "ffffffff" + strict `<` silently dropped rows whose bucket was
+    exactly "ffffffff" (~2^-32/row), violating the exact-fraction
+    contract (ADVICE r3)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+    n = int(fraction * _HEX_SPACE)
+    if n >= _HEX_SPACE:
+        return "g"
+    return format(n, "08x")
 
 
 def hash_sample(
@@ -52,7 +61,8 @@ def hash_sample(
 
 def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     """[(split_name, upper hex bound)] for cumulative weights; the last
-    split absorbs rounding (its bound is 2^32 - 1 inclusive)."""
+    split absorbs rounding (its bound is the above-all sentinel "g",
+    though it is only ever used as the CASE/when ELSE arm)."""
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to > 0")
@@ -61,7 +71,7 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     for name in names[:-1]:
         cum += weights[name] / total
         out.append((name, threshold_hex(cum)))
-    out.append((names[-1], "f" * 8))
+    out.append((names[-1], "g"))
     return out
 
 

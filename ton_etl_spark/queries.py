@@ -871,6 +871,20 @@ def q_ivf_ann_topk(spark, sf):  # no SQL oracle: IVF cell assignment
     return SIM.ivf_ann_topk(corpus, queries, cents, k=5, nprobe=4)
 
 
+def q_ivf_ann_topk_full(spark, sf):
+    """IVF with nprobe == n_cells: probing every cell makes the search
+    exhaustive, so the result must equal brute-force cosine top-k
+    EXACTLY — an oracle-checked proof that the IVF machinery
+    (centroid assignment, cell equi-join, scoring, ranking) is
+    lossless; only cell *pruning* (nprobe < cells, the rows-only
+    `ivf_ann_topk` above) trades recall for speed."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = SIM.train_centroids(corpus, n_cells=16, iters=2)
+    return SIM.ivf_ann_topk(corpus, queries, cents, k=5, nprobe=16)
+
+
 def q_embedding_norms(spark, sf):
     emb = _t(spark, sf, "embeddings")
     norm = F.sqrt(
@@ -1485,6 +1499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_norms": q_embedding_norms,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "ivf_ann_topk_full": q_ivf_ann_topk_full,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_distinct_users": q_approx_distinct_users,
@@ -1535,6 +1550,7 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": O_JACCARD_PAIRS,
     "minhash_near_dup": O_MINHASH_NEAR_DUP,
     "cosine_topk": O_COSINE_TOPK,
+    "ivf_ann_topk_full": O_COSINE_TOPK,
     "embedding_norms": O_EMBEDDING_NORMS,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_lsh": O_EMBEDDING_NEAR_DUP,
