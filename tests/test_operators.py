@@ -277,7 +277,7 @@ def test_cosine_near_dup_exact_and_lsh_agree(spark):
 
 # -- multimodal plumbing ----------------------------------------------------
 
-def test_media_features_real_decode_and_strict_stub(spark):
+def test_media_features_real_decode_all_kinds(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i} " * 10) for i in range(9)], "doc_id long, text string"
     )
@@ -288,7 +288,6 @@ def test_media_features_real_decode_and_strict_stub(spark):
     for mid, r in feats.items():
         assert len(r["feature"]) == 4 and r["n_bytes"] > 0
         if mid % 3 == 0:   # image: REAL BMP decode (header + pixel walk)
-            assert not r["is_fake_decode"]
             assert (r["width"], r["height"]) == (16 + mid % 64, 16 + mid % 48)
             rr, gg, bb = mid % 256, (mid * 7) % 256, (mid * 13) % 256
             assert r["luma_milli"] == 299 * rr + 587 * gg + 114 * bb
@@ -296,14 +295,22 @@ def test_media_features_real_decode_and_strict_stub(spark):
             exp = (rr + gg + bb) / 3.0 / 255.0
             assert all(abs(f - exp) < 0.05 for f in r["feature"])
         elif mid % 3 == 1:  # audio: REAL WAV decode (RIFF chunk walk)
-            assert not r["is_fake_decode"]
             assert r["duration_ms"] == 25 + mid % 1200
             assert r["rms"] == float(1000 + mid % 20000)  # square wave
-        else:               # video: honestly-stubbed fake path, flagged
-            assert r["is_fake_decode"]
-            assert r["rms"] is None and r["width"] is None
-    with pytest.raises(Exception):  # strict raises at the video stub
-        MM.extract_features(media, strict=True).collect()
+        else:               # video: REAL Y4M decode (header + frame walk)
+            w, h, n = MM._y4m_params(mid)
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["duration_ms"] == n * 40  # 25 fps
+            ys = [MM._y4m_frame_y(mid, f) for f in range(n)]
+            assert r["luma_milli"] == 1000 * sum(ys) // n
+            assert r["rms"] is None
+    # an unknown container is a loud error, never a silent fake decode
+    bogus = spark.createDataFrame(
+        [(1, "video", "mp4", None, None, None, b"\x00\x00\x00 ftypisom")],
+        MM.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="unsupported media container"):
+        MM.extract_features(bogus).collect()
 
 
 def test_media_decoders_reject_malformed():
@@ -322,19 +329,38 @@ def test_media_decoders_reject_malformed():
     dur, rms, s = MM._decode_wav(MM._wav_bytes(4))
     assert dur == 25 + 4 % 1200 and rms == 1004.0
     assert isinstance(s, np.ndarray) and len(s) == 400 + (4 % 1200) * 16
+    # Y4M round-trip: header tokens + frame walk recover every parameter
+    w, h, n = MM._y4m_params(8)
+    dw, dh, dn, ddur, lumas = MM._decode_y4m(MM._y4m_bytes(8))
+    assert (dw, dh, dn, ddur) == (w, h, n, n * 40)
+    assert lumas == [MM._y4m_frame_y(8, f) for f in range(n)]
+    with pytest.raises(ValueError):
+        MM._decode_y4m(b"YUV4MPEG2 W4 H4 F25:1\nJUNK\n")
+    with pytest.raises(ValueError):   # truncated last frame
+        MM._decode_y4m(MM._y4m_bytes(8)[:-4])
 
 
-def test_frame_sampling_counts(spark):
-    docs = spark.createDataFrame([(3, "v" * 50)], "doc_id long, text string")
-    media = MM.synthesize_media(docs)  # doc 3 -> kind video? (3 % 3 == 0 -> image)
-    vids = media.filter(F.col("kind") == "video")
-    if vids.count() == 0:
-        docs = spark.createDataFrame([(5, "v" * 50)], "doc_id long, text string")
-        media = MM.synthesize_media(docs)
-    frames = MM.sample_frames(media, every_ms=10_000).collect()
+def test_frame_sampling_decodes_real_frames(spark):
+    # doc 5 -> video (5 % 3 == 2): 7 frames @ 25 fps = 280 ms
+    docs = spark.createDataFrame([(5, "v" * 50)], "doc_id long, text string")
+    media = MM.synthesize_media(docs)
     vid = media.filter(F.col("kind") == "video").collect()[0]
-    expected = len(range(0, max(vid["duration_ms"] - 1, 0) + 1, 10_000))
-    assert len(frames) == expected
+    w, h, n = MM._y4m_params(5)
+    assert vid["duration_ms"] == n * 40
+    # 50 ms stride lands between frame boundaries -> exercises indexing
+    frames = sorted(
+        (r["frame_ms"], r["frame_idx"], r["frame_luma_milli"])
+        for r in MM.sample_frames(media, every_ms=50).collect()
+    )
+    expected = []
+    for ms in range(0, n * 40, 50):
+        idx = ms // 40
+        expected.append((ms, idx, 1000 * MM._y4m_frame_y(5, idx)))
+    assert frames == expected
+    # the frame sha is of the raw YUV plane bytes of THAT frame
+    shas = {r["frame_idx"]: r["frame_sha"]
+            for r in MM.sample_frames(media, every_ms=50).collect()}
+    assert len(set(shas.values())) == len(shas)  # distinct Y -> distinct sha
 
 
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])

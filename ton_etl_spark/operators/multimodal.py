@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed through `mapInPandas` stages.
 
-The image and audio decoders are REAL: the synthesizer emits
-self-describing uncompressed formats — WAV (RIFF, PCM16 mono) and BMP
-(BITMAPINFOHEADER, 24-bit BI_RGB with 4-byte row padding) — and the
-decode kernel parses the actual container bytes with numpy (header
-walk, chunk scan, padded pixel rows) to recover width/height/mean-luma
-and duration/RMS. Only the video codec is stubbed (no ffmpeg in this
-environment): video rows carry an opaque container and take the
-clearly-flagged `is_fake_decode=true` path (`strict=True` raises at
-that point, where a real frame decoder would run).
+ALL THREE decoders are REAL: the synthesizer emits self-describing
+uncompressed formats — WAV (RIFF, PCM16 mono), BMP (BITMAPINFOHEADER,
+24-bit BI_RGB with 4-byte row padding) and Y4M (YUV4MPEG2: plain-text
+header + `FRAME\\n`-delimited raw planar YUV 4:2:0 frames, the
+mjpegtools interchange format) — and the decode kernels parse the
+actual container bytes with numpy (header walk, chunk scan, padded
+pixel rows, frame-plane slicing) to recover width/height/mean-luma,
+duration/RMS and per-frame luma. Compressed codecs (JPEG/H.264/...)
+would need ffmpeg, absent in this environment; an unknown container is
+a decode ERROR, not a silent fake path.
 
 The synthesis parameters are closed-form functions of `media_id`, so a
 SQL oracle (queries.O_MEDIA_FEATURES) can recompute every decoded
@@ -21,7 +22,6 @@ from __future__ import annotations
 
 import hashlib
 import struct
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,7 +32,7 @@ MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),       # image|audio|video
-        T.StructField("format", T.StringType()),     # bmp|wav|fakevid
+        T.StructField("format", T.StringType()),     # bmp|wav|y4m
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("duration_ms", T.IntegerType()),
@@ -50,9 +50,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),       # image (decoded)
         T.StructField("duration_ms", T.IntegerType()),  # audio (decoded)
         T.StructField("rms", T.DoubleType()),           # audio (decoded)
-        T.StructField("luma_milli", T.LongType()),      # image (decoded)
+        T.StructField("luma_milli", T.LongType()),      # image/video (decoded)
         T.StructField("feature", T.ArrayType(T.FloatType())),
-        T.StructField("is_fake_decode", T.BooleanType()),
     ]
 )
 
@@ -65,7 +64,11 @@ SAMPLE_RATE = 16000
 #                 color (R,G,B) = (id%256, (id*7)%256, (id*13)%256)
 #   audio  WAV  : n_samples = 400 + (id%1200)*16 (16 kHz -> 25+id%1200 ms),
 #                 square wave of amplitude A = 1000 + id%20000 (RMS = A)
-#   video  fake : 8-byte magic + 12-byte params + (id%4096) opaque bytes
+#   video  Y4M  : w = 2*(16 + id%32), h = 2*(8 + id%16) (even, 4:2:0),
+#                 n_frames = 2 + id%6 at 25 fps -> duration 40*n ms,
+#                 frame f: constant Y = (id*11 + f*17) % 236 + 16,
+#                 U = V = 128 (grey) -> mean luma over the clip is
+#                 floor semantics: luma_milli = 1000*sum(Y_f) // n
 
 
 def _bmp_params(mid: int) -> tuple[int, int, int, int, int]:
@@ -108,10 +111,27 @@ def _wav_bytes(mid: int) -> bytes:
     return hdr + data
 
 
-def _vid_bytes(mid: int) -> bytes:
-    n = mid % 4096
-    body = (hashlib.sha256(str(mid).encode()).digest() * (n // 32 + 1))[:n]
-    return b"FAKEVID0" + struct.pack("<iii", 320, 240, mid % 90000) + body
+VIDEO_FPS = 25  # F25:1 in the Y4M header -> 40 ms per frame
+
+
+def _y4m_params(mid: int) -> tuple[int, int, int]:
+    """-> (width, height, n_frames); dims even for 4:2:0 subsampling."""
+    return 2 * (16 + mid % 32), 2 * (8 + mid % 16), 2 + mid % 6
+
+
+def _y4m_frame_y(mid: int, f: int) -> int:
+    return (mid * 11 + f * 17) % 236 + 16
+
+
+def _y4m_bytes(mid: int) -> bytes:
+    w, h, n = _y4m_params(mid)
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420jpeg\n" % (w, h, VIDEO_FPS)]
+    uv = bytes([128]) * (2 * (w // 2) * (h // 2))
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(bytes([_y4m_frame_y(mid, f)]) * (w * h))
+        out.append(uv)
+    return b"".join(out)
 
 
 def synthesize_media(documents: DataFrame, id_col: str = "doc_id",
@@ -131,26 +151,41 @@ def synthesize_media(documents: DataFrame, id_col: str = "doc_id",
                 return _bmp_bytes(mid)
             if k == 1:
                 return _wav_bytes(mid)
-            return _vid_bytes(mid)
+            return _y4m_bytes(mid)
 
         return ids.map(one)
 
+    mid = F.col(id_col)
+    k = mid % 3
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col(id_col) % 3 + 1).cast("int"),
+        (k + 1).cast("int"),
     )
     fmts = F.element_at(
-        F.array(F.lit("bmp"), F.lit("wav"), F.lit("fakevid")),
-        (F.col(id_col) % 3 + 1).cast("int"),
+        F.array(F.lit("bmp"), F.lit("wav"), F.lit("y4m")),
+        (k + 1).cast("int"),
+    )
+    # Typed metadata mirrors the per-kind closed forms (NULL where the
+    # dimension doesn't apply), so downstream planners can e.g. pick
+    # frame-sampling strides without touching the payload bytes.
+    width = (
+        F.when(k == 0, mid % 64 + 16).when(k == 2, (mid % 32 + 16) * 2)
+    )
+    height = (
+        F.when(k == 0, mid % 48 + 16).when(k == 2, (mid % 16 + 8) * 2)
+    )
+    duration = (
+        F.when(k == 1, mid % 1200 + 25)
+        .when(k == 2, (mid % 6 + 2) * 1000 / VIDEO_FPS)
     )
     return documents.select(
-        F.col(id_col).alias("media_id"),
+        mid.alias("media_id"),
         kinds.alias("kind"),
         fmts.alias("format"),
-        (F.col(id_col) % 64 + 16).cast("int").alias("width"),
-        (F.col(id_col) % 48 + 16).cast("int").alias("height"),
-        (F.col(id_col) % 90000).cast("int").alias("duration_ms"),
-        pack(F.col(id_col)).alias("data"),
+        width.cast("int").alias("width"),
+        height.cast("int").alias("height"),
+        duration.cast("int").alias("duration_ms"),
+        pack(mid).alias("data"),
     )
 
 
@@ -195,14 +230,53 @@ def _decode_wav(b: bytes) -> tuple[int, float, np.ndarray]:
     return dur_ms, rms, samples
 
 
+def _decode_y4m(b: bytes) -> tuple[int, int, int, int, list[int]]:
+    """-> (width, height, n_frames, duration_ms, per-frame mean luma).
+    Real YUV4MPEG2 parse: text stream header (W/H/F tokens), then
+    `FRAME[ params]\\n` markers each followed by a raw planar 4:2:0
+    frame (Y w*h, U and V w/2*h/2). Per-frame luma is the exact
+    integer-floor mean of the Y plane; the clip luma aggregate keeps
+    the same floor semantics (see extract_features)."""
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = num = den = None
+    for tok in b[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C" and tok not in (b"C420jpeg", b"C420", b"C420mpeg2"):
+            raise ValueError(f"unsupported Y4M chroma {tok!r}")
+    if not w or not h or not num:
+        raise ValueError("Y4M header missing W/H/F")
+    frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    pos, lumas = nl + 1, []
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M frame marker")
+        if fnl + 1 + frame_len > len(b):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=fnl + 1)
+        lumas.append(int(y.sum(dtype=np.int64)) // (w * h))
+        pos = fnl + 1 + frame_len
+    if not lumas:
+        raise ValueError("Y4M stream has no frames")
+    dur_ms = len(lumas) * 1000 * den // num
+    return w, h, len(lumas), dur_ms, lumas
+
+
 def extract_features(
-    media: DataFrame, feature_dim: int = 8, strict: bool = False,
-    batch_rows: int = 256,
+    media: DataFrame, feature_dim: int = 8, batch_rows: int = 256,
 ) -> DataFrame:
-    """Decode + feature-extract via mapInPandas. WAV and BMP rows are
-    decoded for real (numpy header/chunk parsing); unknown containers
-    (video) take the fake path flagged by `is_fake_decode=true`
-    (`strict=True` raises there instead). The working-set bound for fat
+    """Decode + feature-extract via mapInPandas. BMP, WAV and Y4M rows
+    are all decoded for real (numpy header/chunk/frame parsing); an
+    unrecognized container is a loud ValueError — compressed codecs
+    need ffmpeg (absent here) and silently faking their features would
+    poison downstream dedup/search. The working-set bound for fat
     binary rows is enforced INSIDE the kernel: each incoming Arrow
     batch is processed in `batch_rows`-row slices and yielded
     incrementally, so peak memory per python worker is one slice of
@@ -220,8 +294,7 @@ def extract_features(
             "media_id": mid, "kind": kind, "n_bytes": len(b),
             "content_sha": hashlib.sha256(b).hexdigest(),
             "width": None, "height": None, "duration_ms": None,
-            "rms": None, "luma_milli": None,
-            "feature": None, "is_fake_decode": False,
+            "rms": None, "luma_milli": None, "feature": None,
         }
         if b[:2] == b"BM":
             w, h, luma = _decode_bmp(b)
@@ -231,14 +304,18 @@ def extract_features(
             dur, rms, samples = _decode_wav(b)
             out.update(duration_ms=dur, rms=rms,
                        feature=_audio_feature(samples, feature_dim))
+        elif b[:9] == b"YUV4MPEG2":
+            w, h, n, dur, lumas = _decode_y4m(b)
+            out.update(
+                width=w, height=h, duration_ms=dur,
+                luma_milli=1000 * sum(lumas) // n,
+                feature=_video_feature(lumas, feature_dim),
+            )
         else:
-            if strict:
-                raise NotImplementedError(
-                    "video codecs are not available in this environment; "
-                    "install ffmpeg and replace this branch"
-                )
-            out.update(feature=_fake_feature(b, feature_dim),
-                       is_fake_decode=True)
+            raise ValueError(
+                f"unsupported media container (magic {b[:8]!r}); only "
+                "uncompressed BMP/WAV/Y4M decode without ffmpeg"
+            )
         return out
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -272,32 +349,78 @@ def _audio_feature(samples: np.ndarray, dim: int) -> list[float]:
     ]
 
 
-def _fake_feature(b: bytes, dim: int) -> list[float]:
-    h = hashlib.sha256(b or b"").digest()
-    arr = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=">u4")
-    return (arr.astype(np.float64) / 2**32).astype(np.float32).tolist()
+def _video_feature(lumas: list[int], dim: int) -> list[float]:
+    cuts = np.array_split(np.asarray(lumas, dtype=np.float64), dim)
+    return [float(c.mean() / 255.0) if len(c) else 0.0 for c in cuts]
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_luma_milli", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 10_000,
-                  strict: bool = False) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame
-    offset (explode on a JVM-computed sequence); the frame-decode kernel
-    is the stub."""
-    frames = media.filter(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-                F.lit(every_ms),
-            )
-        ).alias("frame_ms"),
-        "data",
-    )
-    if strict:
-        raise NotImplementedError("frame decode requires ffmpeg")
-    return frames.select(
-        "media_id",
-        "frame_ms",
-        F.sha2(F.concat(F.col("data"), F.col("frame_ms").cast("binary")), 256)
-        .alias("frame_sha"),
+                  batch_rows: int = 64) -> DataFrame:
+    """Real frame sampling: decode each Y4M container ONCE in a
+    mapInPandas kernel and emit one row per sampled timestamp with the
+    frame actually at that offset (index = floor(ms * fps / 1000)) —
+    its exact integer mean luma and the sha256 of its raw YUV plane
+    bytes. Emitting rows from inside the kernel (instead of exploding
+    offsets JVM-side and joining back) means the multi-MB container
+    bytes are never duplicated per frame row through a shuffle — the
+    property that matters when a row is a 100 MB video at cluster
+    scale."""
+
+    def rows_for(mid: int, b: bytes):
+        nl = b.find(b"\n")
+        w = h = num = den = None
+        for tok in b[:nl].split(b" ")[1:]:
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"F":
+                num, den = (int(x) for x in tok[1:].split(b":"))
+        frame_len = w * h + 2 * ((w // 2) * (h // 2))
+        # frame byte offsets (skipping per-frame FRAME\n markers)
+        offs, pos = [], nl + 1
+        while pos < len(b):
+            fnl = b.find(b"\n", pos)
+            if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+                raise ValueError("corrupt Y4M frame marker")
+            offs.append(fnl + 1)
+            pos = fnl + 1 + frame_len
+        dur_ms = len(offs) * 1000 * den // num
+        for ms in range(0, max(dur_ms, 1), every_ms):
+            idx = min(ms * num // (1000 * den), len(offs) - 1)
+            frame = b[offs[idx] : offs[idx] + frame_len]
+            y = np.frombuffer(frame, dtype=np.uint8, count=w * h)
+            yield {
+                "media_id": mid, "frame_ms": ms, "frame_idx": idx,
+                "frame_luma_milli":
+                    1000 * int(y.sum(dtype=np.int64)) // (w * h),
+                "frame_sha": hashlib.sha256(frame).hexdigest(),
+            }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sl = pdf.iloc[lo : lo + batch_rows]
+                rows = [
+                    r for m, d in zip(sl["media_id"], sl["data"])
+                    for r in rows_for(int(m), d)
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "data")
+        .mapInPandas(run, FRAME_SCHEMA)
     )

@@ -854,6 +854,13 @@ def _embedding_dim(sf: str) -> int:
 
 
 def q_ann_lsh_topk(spark, sf):  # no SQL oracle: LSH bucketing
+    """Rows-only by design: on THIS testdata (uniform random vectors,
+    near-isotropic — no planted neighborhood geometry) hyperplane-LSH
+    recall tops out ~0.2 even probing all 1-bit flips (measured at
+    sf0.001/sf0.01, multiprobe 2-6), so no multiprobe setting reaches
+    exact brute-force agreement; recall is asserted on planted-cluster
+    data in tests instead (test_ann_lsh_recall_vs_brute_force), and
+    the lossless-machinery proof is `ivf_ann_topk_full` below."""
     emb = _t(spark, sf, "embeddings")
     dim = _embedding_dim(sf)
     queries = emb.filter(F.col("vec_id") < 5)
@@ -990,17 +997,17 @@ def q_approx_distinct_users(spark, sf):  # approx sketch: no cross-engine oracle
 
 def q_media_features(spark, sf):
     """Real multimodal decode round-trip: synthesize_media writes actual
-    BMP / WAV containers whose parameters are closed forms of media_id;
-    extract_features parses the real bytes (numpy header/chunk walk) to
-    recover dimensions, mean luma, duration and RMS; the oracle
-    recomputes every feature from the closed forms — so the decoder is
-    checked through the file format, independent of the writer. Only
-    the video rows remain a flagged fake decode (no ffmpeg here)."""
+    BMP / WAV / Y4M containers whose parameters are closed forms of
+    media_id; extract_features parses the real bytes (numpy
+    header/chunk/frame walk) to recover dimensions, mean luma, duration
+    and RMS; the oracle recomputes every feature from the closed forms
+    — so all three decoders are checked through the file format,
+    independent of the writer. No fake decode path remains."""
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     media = MM.synthesize_media(docs)
     return MM.extract_features(media, feature_dim=8).select(
         "media_id", "kind", "n_bytes", "width", "height",
-        "duration_ms", "rms", "luma_milli", "is_fake_decode",
+        "duration_ms", "rms", "luma_milli",
     )
 
 
@@ -1008,7 +1015,10 @@ def q_media_features(spark, sf):
 # header there documents them; change both together).
 O_MEDIA_FEATURES = """
 WITH m AS (
-  SELECT doc_id AS media_id, doc_id % 3 AS k
+  SELECT doc_id AS media_id, doc_id % 3 AS k,
+         2 * (16 + doc_id % 32) AS vw,      -- video closed forms
+         2 * (8 + doc_id % 16) AS vh,
+         2 + doc_id % 6 AS vn
   FROM documents WHERE doc_id < 100
 )
 SELECT media_id,
@@ -1017,17 +1027,60 @@ SELECT media_id,
     WHEN 0 THEN 54 + (((3 * (16 + media_id % 64) + 3) // 4) * 4)
                      * (16 + media_id % 48)
     WHEN 1 THEN 44 + 2 * (400 + (media_id % 1200) * 16)
-    ELSE 20 + media_id % 4096 END AS INTEGER) AS n_bytes,
-  CAST(CASE WHEN k = 0 THEN 16 + media_id % 64 END AS INTEGER) AS width,
-  CAST(CASE WHEN k = 0 THEN 16 + media_id % 48 END AS INTEGER) AS height,
-  CAST(CASE WHEN k = 1 THEN 25 + media_id % 1200 END AS INTEGER)
-    AS duration_ms,
+    -- Y4M: header "YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 C420jpeg\\n"
+    -- (37 bytes + the W/H digit counts), then per frame
+    -- "FRAME\\n" (6) + planar 4:2:0 payload (3*w*h/2)
+    ELSE 37 + length(CAST(vw AS VARCHAR)) + length(CAST(vh AS VARCHAR))
+         + vn * (6 + (3 * vw * vh) // 2) END AS INTEGER) AS n_bytes,
+  CAST(CASE WHEN k = 0 THEN 16 + media_id % 64
+            WHEN k = 2 THEN vw END AS INTEGER) AS width,
+  CAST(CASE WHEN k = 0 THEN 16 + media_id % 48
+            WHEN k = 2 THEN vh END AS INTEGER) AS height,
+  CAST(CASE WHEN k = 1 THEN 25 + media_id % 1200
+            WHEN k = 2 THEN vn * 40 END AS INTEGER) AS duration_ms,
   CAST(CASE WHEN k = 1 THEN 1000 + media_id % 20000 END AS DOUBLE) AS rms,
   CAST(CASE WHEN k = 0 THEN 299 * (media_id % 256)
        + 587 * ((media_id * 7) % 256)
-       + 114 * ((media_id * 13) % 256) END AS BIGINT) AS luma_milli,
-  (k = 2) AS is_fake_decode
+       + 114 * ((media_id * 13) % 256)
+       -- clip luma: floor(1000 * sum(frame Y) / n_frames); frame f
+       -- has constant Y = (id*11 + f*17) % 236 + 16
+       WHEN k = 2 THEN (1000 * list_sum(list_transform(
+           range(vn), f -> (media_id * 11 + f * 17) % 236 + 16
+       ))) // vn END AS BIGINT) AS luma_milli
 FROM m
+"""
+
+
+def q_video_frames(spark, sf):
+    """Real video frame sampling: decode each synthesized Y4M container
+    once in the kernel and emit the frame actually at each 50 ms
+    offset, with its exact integer mean luma. The oracle recomputes
+    frame index (floor(ms*fps/1000)) and per-frame luma from the
+    synthesis closed forms — the kernel is checked through the real
+    container bytes. (frame_sha is also emitted by the operator but is
+    not SQL-recomputable, so the query projects the checkable
+    columns.)"""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = MM.synthesize_media(docs)
+    return MM.sample_frames(media, every_ms=50).select(
+        "media_id", "frame_ms", "frame_idx", "frame_luma_milli",
+    )
+
+
+# Mirrors _y4m_params/_y4m_frame_y closed forms (25 fps -> 40 ms/frame).
+O_VIDEO_FRAMES = """
+WITH v AS (
+  SELECT doc_id AS media_id, 2 + doc_id % 6 AS vn
+  FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2
+), s AS (
+  SELECT media_id, vn, unnest(range(0, vn * 40, 50)) AS ms FROM v
+)
+SELECT media_id,
+  CAST(ms AS INTEGER) AS frame_ms,
+  CAST(ms // 40 AS INTEGER) AS frame_idx,
+  CAST(1000 * ((media_id * 11 + (ms // 40) * 17) % 236 + 16) AS BIGINT)
+    AS frame_luma_milli
+FROM s
 """
 
 
@@ -1504,6 +1557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_distinct_users": q_approx_distinct_users,
     "media_features": q_media_features,
+    "video_frames": q_video_frames,
     "cdc_replay_sql": q_cdc_replay_sql,
     "top_tvl_tokens": q_top_tvl_tokens,
     "cdc_replay_demo": q_cdc_replay_demo,
@@ -1515,6 +1569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "media_features": O_MEDIA_FEATURES,
+    "video_frames": O_VIDEO_FRAMES,
     "curation_pipeline": _o_curation_pipeline(),
     "hash_sample": _o_hash_sample(),
     "split_counts": _o_split_counts(),
