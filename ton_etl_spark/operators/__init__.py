@@ -13,6 +13,7 @@ from .asof import asof_join
 from .decayed import time_decayed_avg
 from .trace_match import chain_signature
 from .setops import exclude_rows, except_dedup
+from .components import canonical_docs, connected_components, near_dup_clusters
 
 __all__ = [
     "latest_state",
@@ -21,4 +22,7 @@ __all__ = [
     "chain_signature",
     "exclude_rows",
     "except_dedup",
+    "connected_components",
+    "near_dup_clusters",
+    "canonical_docs",
 ]

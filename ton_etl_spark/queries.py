@@ -25,6 +25,7 @@ from .operators import (
     latest_state,
     time_decayed_avg,
 )
+from .operators import components as CC
 from .operators import dedup as DD
 from .operators import multimodal as MM
 from .operators import similarity as SIM
@@ -813,6 +814,85 @@ def q_simhash_pairs(spark, sf):  # no SQL oracle: xxhash64 simhash kernel
     return DD.simhash_near_dups(docs, "doc_id", "text", max_hamming=8)
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive near-dup clustering: MinHash-LSH pairs -> distributed
+    connected components (min-label propagation + pointer doubling,
+    operators/components.py). Every doc gets a cluster_id = min doc id
+    of its component (singletons cluster with themselves), which an
+    exact recursive-CTE oracle reproduces engine-portably."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return CC.near_dup_clusters(
+        docs, "doc_id", "text", threshold=0.8, n_perm=16, bands=16, k=1
+    )
+
+
+# Recursive CTE = the exact transitive closure over the exact all-pairs
+# jaccard edges (the same edge set minhash_near_dup is proven equal to).
+_O_CC_WALK = """
+ s AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+  FROM documents WHERE doc_id < 300
+ ),
+ pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND round(len(list_intersect(a.toks, b.toks))
+              / len(list_distinct(a.toks || b.toks)), 6) >= 0.8
+ ),
+ edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+ walk(node, origin) AS (
+   SELECT doc_id, doc_id FROM s
+   UNION
+   SELECT e.v, w.origin FROM walk w JOIN edges e ON e.u = w.node
+ ),
+ comp AS (
+   SELECT node AS doc_id, CAST(min(origin) AS BIGINT) AS cluster_id
+   FROM walk GROUP BY node
+ )
+"""
+
+O_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+{_O_CC_WALK}
+SELECT doc_id, cluster_id FROM comp
+"""
+
+
+def q_near_dup_curation(spark, sf):
+    """Cluster -> canonical keep: per near-dup cluster keep the longest
+    doc (ties -> smallest id). The keep-list a curation pipeline joins
+    back against the corpus; one window shuffle on cluster_id."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    clusters = CC.near_dup_clusters(
+        docs, "doc_id", "text", threshold=0.8, n_perm=16, bands=16, k=1
+    )
+    kept = CC.canonical_docs(docs, clusters, "doc_id", "n_chars")
+    return kept.select(
+        "cluster_id",
+        "n_docs",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_chars").alias("kept_chars"),
+    )
+
+
+O_NEAR_DUP_CURATION = f"""
+WITH RECURSIVE
+{_O_CC_WALK},
+ j AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM comp c JOIN documents d USING (doc_id)
+ )
+SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+       doc_id AS kept_doc_id, n_chars AS kept_chars
+FROM j WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1548,6 +1628,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "near_dup_curation": q_near_dup_curation,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_norms": q_embedding_norms,
@@ -1604,6 +1686,8 @@ ORACLES: dict[str, str] = {
     "exact_dup_groups": O_EXACT_DUP_GROUPS,
     "jaccard_pairs": O_JACCARD_PAIRS,
     "minhash_near_dup": O_MINHASH_NEAR_DUP,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
+    "near_dup_curation": O_NEAR_DUP_CURATION,
     "cosine_topk": O_COSINE_TOPK,
     "ivf_ann_topk_full": O_COSINE_TOPK,
     "embedding_norms": O_EMBEDDING_NORMS,
