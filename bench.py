@@ -62,6 +62,8 @@ HEADLINE = [
     "region_revenue",
     "text_analyze",
     "curation_pipeline",
+    "near_dup_pipeline",
+    "stratified_sample",
     "minhash_lsh_pairs",
     "minhash_near_dup",
     "simhash_pairs",

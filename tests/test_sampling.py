@@ -9,6 +9,7 @@ from ton_etl_spark.operators.sampling import (
     hash_split,
     split_case_sql,
     split_thresholds,
+    stratified_sample,
     threshold_hex,
 )
 
@@ -84,3 +85,48 @@ def test_threshold_edges():
 
 def test_full_sample_keeps_every_row(docs):
     assert hash_sample(docs, "doc_id", 1.0).count() == docs.count()
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = stratified_sample(df, ["grp"], "doc_id", k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], set()).add(r["doc_id"])
+    # exact k from the 900-row stratum AND the 100-row stratum
+    assert len(got["big"]) == 5 and len(got["small"]) == 5
+    # deterministic across runs and across input partitioning
+    again = stratified_sample(df.repartition(7), ["grp"], "doc_id", k=5)
+    got2 = {}
+    for r in again.collect():
+        got2.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert got == got2
+    # k above stratum size keeps the whole stratum
+    assert stratified_sample(df, ["grp"], "doc_id", k=2000).count() == 1000
+    with pytest.raises(ValueError):
+        stratified_sample(df, ["grp"], "doc_id", k=-1)
+
+
+def test_stratified_sample_matches_duckdb_twin(spark):
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted(
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample(df, ["lang"], "doc_id", k=4).collect()
+    )
+    con = duckdb.connect()
+    con.register("d", __import__("pandas").DataFrame(rows, columns=["doc_id", "lang"]))
+    want = sorted(
+        (lang, doc_id)
+        for doc_id, lang in con.sql(
+            """
+            SELECT doc_id, lang FROM d
+            QUALIFY row_number() OVER (
+              PARTITION BY lang
+              ORDER BY sha256(concat('strat-v1', CAST(doc_id AS VARCHAR))), doc_id
+            ) <= 4
+            """
+        ).fetchall()
+    )
+    assert got == want

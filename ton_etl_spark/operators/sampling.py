@@ -94,6 +94,37 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: within each stratum keep the
+    k rows with the smallest sha256(salt || id) (ties impossible modulo
+    a hash collision, which the id tie-break then settles). Same three
+    guarantees as hash_sample — reproducible, partitioning-independent,
+    engine-portable (the oracle is one QUALIFY row_number clause) — but
+    with an exact per-group count, which fraction sampling can't give
+    on skewed strata (the balanced-eval-set use case).
+
+    Scale shape: one hash shuffle on the strata columns for the window;
+    the full sha256 (not the 8-char prefix) orders the window so the
+    selection stays uniform within each stratum at any size."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    from pyspark.sql import Window as W
+
+    h = F.sha2(F.concat(F.lit(salt), F.col(id_col).cast("string")), 256)
+    w = W.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_strat_rn", F.row_number().over(w))
+        .where(F.col("_strat_rn") <= k)
+        .drop("_strat_rn")
+    )
+
+
 def split_case_sql(id_col: str, weights: dict[str, float], salt: str = "split-v1") -> str:
     """The ANSI-SQL CASE expression computing the identical split —
     used by the DuckDB oracles to verify `hash_split` bit-for-bit."""

@@ -893,6 +893,48 @@ FROM j WHERE rn = 1
 """
 
 
+def q_near_dup_pipeline(spark, sf):
+    """Second curation flagship: TRANSITIVE near-dup dedup (MinHash
+    pairs -> connected components -> canonical longest doc per cluster)
+    -> deterministic 80/10/10 split -> per-(split, lang) rollup, all
+    one declarative plan. Complements `curation_pipeline`, whose dedup
+    is exact (content-sha): this is the pipeline shape when duplicates
+    are fuzzy. The oracle recomputes the whole chain from the exact
+    all-pairs transitive closure in DuckDB."""
+    from .operators.sampling import hash_split
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    clusters = CC.near_dup_clusters(
+        docs, "doc_id", "text", threshold=0.8, n_perm=16, bands=16, k=1
+    )
+    kept = CC.canonical_docs(docs, clusters, "doc_id", "n_chars")
+    split = hash_split(kept, "doc_id", _SPLIT_WEIGHTS)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _o_near_dup_pipeline() -> str:
+    from .operators.sampling import split_case_sql
+
+    case = split_case_sql("doc_id", _SPLIT_WEIGHTS)
+    return f"""
+WITH RECURSIVE
+{_O_CC_WALK},
+ j AS (
+  SELECT c.cluster_id, d.doc_id, d.lang, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM comp c JOIN documents d USING (doc_id)
+ ),
+ kept AS (SELECT * FROM j WHERE rn = 1)
+SELECT {case} AS split, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY split, lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1478,6 +1520,29 @@ FROM documents GROUP BY split, lang
 """
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic k-per-stratum sample: per (lang, source) keep the
+    3 docs with smallest sha256('strat-v1' || doc_id) — the exact
+    per-group count fraction sampling can't give on skewed strata
+    (balanced eval sets). One window shuffle on the strata columns;
+    the oracle is the byte-identical QUALIFY in DuckDB."""
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(docs, ["lang", "source"], "doc_id", k=3).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+O_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source, n_chars FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang, source
+  ORDER BY sha256(concat('strat-v1', CAST(doc_id AS VARCHAR))), doc_id
+) <= 3
+"""
+
+
 def q_value_percentiles(spark, sf):
     """Per-type latency/value profile: exact p50/p90/p99 (Spark
     `percentile` = linear interpolation, the same contract as DuckDB
@@ -1630,6 +1695,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "near_dup_curation": q_near_dup_curation,
+    "near_dup_pipeline": q_near_dup_pipeline,
+    "stratified_sample": q_stratified_sample,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_norms": q_embedding_norms,
@@ -1688,6 +1755,8 @@ ORACLES: dict[str, str] = {
     "minhash_near_dup": O_MINHASH_NEAR_DUP,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "near_dup_curation": O_NEAR_DUP_CURATION,
+    "near_dup_pipeline": _o_near_dup_pipeline(),
+    "stratified_sample": O_STRATIFIED_SAMPLE,
     "cosine_topk": O_COSINE_TOPK,
     "ivf_ann_topk_full": O_COSINE_TOPK,
     "embedding_norms": O_EMBEDDING_NORMS,
