@@ -36,12 +36,14 @@ def _uf_components(n_vertices, edges):
     return {v: find(v) for v in range(n_vertices)}
 
 
-def _run(spark, n_vertices, edges):
+def _run(spark, n_vertices, edges, small_graph_edges=0):
     e = spark.createDataFrame(
         [(int(u), int(v)) for u, v in edges] or [(0, 0)], "id_a long, id_b long"
     )
     verts = spark.createDataFrame([(i,) for i in range(n_vertices)], "v long")
-    out = connected_components(e, vertices=verts, id_col="v")
+    out = connected_components(
+        e, vertices=verts, id_col="v", small_graph_edges=small_graph_edges
+    )
     return {r["v"]: r["component"] for r in out.collect()}
 
 
@@ -51,27 +53,32 @@ def test_components_vs_union_find_random_graphs(spark):
         n = 60 + trial * 25
         m = rng.randrange(10, n * 2)
         edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
-        got = _run(spark, n, edges)
         want = _uf_components(n, edges)
-        assert got == want, f"trial {trial}"
+        # both execution paths must agree with the oracle: the
+        # distributed label loop and the bounded driver union-find
+        assert _run(spark, n, edges, small_graph_edges=0) == want, f"trial {trial}"
+        assert _run(spark, n, edges, small_graph_edges=10_000) == want, f"trial {trial} (fast path)"
 
 
 def test_components_chain_converges_fast(spark):
     # 64-vertex chain: diameter 63. Pointer doubling must collapse it in
     # O(log d) rounds — assert via the iteration ceiling, far below the
-    # linear 63 rounds plain propagation would need.
+    # linear 63 rounds plain propagation would need. Force the
+    # distributed path: the convergence-speed claim is about the loop.
     edges = [(i, i + 1) for i in range(63)]
     e = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = connected_components(e, max_iter=8)
+    out = connected_components(e, max_iter=8, small_graph_edges=0)
     rows = {r["v"]: r["component"] for r in out.collect()}
     assert rows == {i: 0 for i in range(64)}
 
 
 def test_components_edge_hygiene(spark):
-    # duplicates, reversed direction, self loops — all tolerated
+    # duplicates, reversed direction, self loops — all tolerated on
+    # both paths
     edges = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5)]
-    got = _run(spark, 6, edges)
-    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 4}
+    want = {0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 4}
+    assert _run(spark, 6, edges, small_graph_edges=0) == want
+    assert _run(spark, 6, edges, small_graph_edges=100) == want
 
 
 def test_components_requires_id_col_with_vertices(spark):
@@ -111,13 +118,25 @@ def test_canonical_docs_prefers_longest_then_smallest_id(spark):
 
 
 def test_components_no_vertex_collects(spark):
-    """The only driver actions are the per-round single-row convergence
-    probes — the vertex/edge sets themselves are never collected. Guard
-    by running a graph larger than any plausible collect default and
-    checking the result row count lazily."""
+    """On the distributed path the only driver actions are the per-round
+    single-row convergence probes — the vertex/edge sets themselves are
+    never collected. Guard by running a graph larger than any plausible
+    collect default and checking the result row count lazily."""
     n = 5000
     edges = [(i, i + 1) for i in range(0, n - 1, 2)]  # 2500 pairs
     e = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = connected_components(e)
+    out = connected_components(e, small_graph_edges=0)
     assert out.groupBy().agg(F.count(F.lit(1))).first()[0] == n
     assert out.filter(F.col("component") % 2 != 0).count() == 0
+
+
+def test_components_over_cap_uses_distributed_path(spark):
+    """A graph over the small-graph cap must still resolve (the fast
+    path silently hands over to the label loop)."""
+    n = 600
+    edges = [(i, i + 1) for i in range(n - 1)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    # symmetrized edge count = 2*(n-1) > cap=1000 -> distributed loop
+    out = connected_components(e, small_graph_edges=1000)
+    rows = {r["v"]: r["component"] for r in out.collect()}
+    assert rows == {i: 0 for i in range(n)}
