@@ -62,6 +62,8 @@ HEADLINE = [
     "region_revenue",
     "text_analyze",
     "curation_pipeline",
+    "repetition_metrics",
+    "sequence_packing",
     "near_dup_pipeline",
     "stratified_sample",
     "minhash_lsh_pairs",
@@ -290,6 +292,18 @@ def main():
                     "median": clean[len(clean) // 2] if clean else None,
                 }
             levels[str(cores)] = med
+        # Full per-batch detail (stage timings, host CPU per batch) is
+        # archived to a side file for forensics; the stdout JSON keeps
+        # only the summary statistics so the final line stays small
+        # enough for the driver's tail capture to parse (the r3
+        # driver-recorded line embedded every batch and exceeded the
+        # capture window -> "parsed": null in BENCH_r03.json).
+        detail_path = os.path.join(CACHE, "last_cdc_runs.json")
+        with open(detail_path, "w") as f:
+            json.dump(all_runs, f)
+        log(f"  per-batch detail archived to {detail_path}")
+        for med in levels.values():
+            med.pop("batches", None)
         lo, hi = (levels[str(c)] for c in CDC_LEVELS)
         ideal = CDC_LEVELS[1] / CDC_LEVELS[0]
         warm_ratio = hi["warm_events_per_sec"] / lo["warm_events_per_sec"]

@@ -110,6 +110,94 @@ def fingerprint(text: Column) -> Column:
     return F.sha2(F.trim(norm), 256)
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (1-based element_at).
+    Guarded with WHEN because Spark's sequence(1, 0) yields a
+    DESCENDING [1, 0], not an empty array."""
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _max_gram_count(grams: Column) -> Column:
+    """Occurrences of the most frequent element. O(distinct * len) per
+    row in JVM higher-order functions — fine for web-document token
+    counts (10^2..10^4); for book-length docs use the explode->groupBy
+    formulation instead (one shuffle, linear)."""
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.coalesce(F.array_max(counts), F.lit(0))
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 repetition filters — public
+    paper): documents dominated by a few repeated words/n-grams are
+    low-quality for pretraining.
+
+    Per document (all pure column expressions, zero Python):
+      n_tokens         - lowercased whitespace tokens
+      n_distinct       - distinct tokens
+      top_word_count   - occurrences of the most frequent token
+      top_bigram_count - occurrences of the most frequent word bigram
+      dup_word_frac    - 1 - n_distinct/n_tokens
+      top_word_frac    - top_word_count / n_tokens
+      top_bigram_frac  - 2*top_bigram_count / n_tokens (token share)
+
+    The integer counts are exact and engine-portable; the fractions are
+    6dp-rounded for display/filtering.
+
+    STAGED through explicit projections on purpose: higher-order
+    functions evaluate interpreted (outside codegen), so an inlined
+    one-projection formulation re-runs the regex split per lambda
+    element — O(distinct * len) regex evaluations per ROW (~80 ms/doc
+    measured). Aliasing the arrays first materializes each once per
+    row; CollapseProject keeps the stages because the aliases are
+    non-cheap and referenced more than once (Spark >= 3.3 inlining
+    rule), after which the lambdas only scan in-memory arrays."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    t = F.col("_toks")
+    staged = base.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        _max_gram_count(t).cast("long").alias("top_word_count"),
+        _word_ngrams(t, 2).alias("_bg"),
+    )
+    counted = staged.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        "top_word_count",
+        _max_gram_count(F.col("_bg")).cast("long").alias("top_bigram_count"),
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    return counted.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        "top_word_count",
+        "top_bigram_count",
+        F.round(1 - F.col("n_distinct") / denom, 6).alias("dup_word_frac"),
+        F.round(F.col("top_word_count") / denom, 6).alias("top_word_frac"),
+        F.round(2 * F.col("top_bigram_count") / denom, 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def analyze(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     t = F.col(text_col)
     return df.select(

@@ -1660,6 +1660,118 @@ FROM canon GROUP BY split, lang
 """
 
 
+def q_repetition_metrics(spark, sf):
+    """Gopher-style repetition quality signals over the corpus (dup-word
+    fraction, most-frequent word/bigram share) — pure higher-order
+    column expressions, zero Python, zero shuffles."""
+    from .operators.text import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+O_REPETITION_METRICS = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bg
+  FROM t
+), m AS (
+  SELECT doc_id,
+    CAST(n AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+    CAST(coalesce(list_max(list_transform(list_distinct(toks),
+         w -> len(list_filter(toks, x -> x = w)))), 0) AS BIGINT)
+      AS top_word_count,
+    CAST(coalesce(list_max(list_transform(list_distinct(bg),
+         w -> len(list_filter(bg, x -> x = w)))), 0) AS BIGINT)
+      AS top_bigram_count
+  FROM g
+)
+SELECT doc_id, n_tokens, n_distinct, top_word_count, top_bigram_count,
+  round(1 - n_distinct / greatest(n_tokens, 1), 6) AS dup_word_frac,
+  round(top_word_count / greatest(n_tokens, 1), 6) AS top_word_frac,
+  round(2 * top_bigram_count / greatest(n_tokens, 1), 6) AS top_bigram_frac
+FROM m
+"""
+
+
+def q_sequence_packing(spark, sf):
+    """Concat-and-chunk sequence packing of the corpus into 512-token
+    context windows, 8 shards: per-doc token intervals. One shuffle
+    (shard key); the per-shard running sum is the scale-correct
+    rendering of the naive global cumsum (single-partition bottleneck
+    at 100 TB)."""
+    from .operators.packing import pack_sequences
+    from .operators.text import token_count
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, ctx_len=512, n_shards=8)
+
+
+_O_PACK_BASE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS BIGINT) AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), p AS (
+  SELECT shard, doc_id, n_tokens,
+         -- CAST: DuckDB widens integer window-SUM to HUGEINT
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS begin_offset
+  FROM d
+)
+"""
+
+O_SEQUENCE_PACKING = _O_PACK_BASE + """
+SELECT shard, doc_id, n_tokens, begin_offset,
+  CAST(floor(begin_offset / 512.0) AS BIGINT) AS first_seq,
+  CAST(floor((begin_offset + greatest(n_tokens - 1, 0)) / 512.0) AS BIGINT)
+    AS last_seq,
+  CAST(floor((begin_offset + greatest(n_tokens - 1, 0)) / 512.0)
+       - floor(begin_offset / 512.0) + 1 AS BIGINT) AS n_seqs
+FROM p
+"""
+
+
+def q_packing_manifest(spark, sf):
+    """Per-shard packing summary (docs, tokens, full 512-token windows,
+    tail remainder) — second-stage agg reusing the shard partitioning."""
+    from .operators.packing import pack_sequences, shard_manifest
+    from .operators.text import token_count
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return shard_manifest(pack_sequences(docs, ctx_len=512, n_shards=8), 512)
+
+
+O_PACKING_MANIFEST = """
+WITH d AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), s AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM d GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens,
+  CAST(floor(total_tokens / 512.0) AS BIGINT) AS n_full_seqs,
+  CAST(total_tokens % 512 AS BIGINT) AS tail_tokens
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -1714,6 +1826,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_counts": q_split_counts,
     "value_percentiles": q_value_percentiles,
     "curation_pipeline": q_curation_pipeline,
+    "repetition_metrics": q_repetition_metrics,
+    "sequence_packing": q_sequence_packing,
+    "packing_manifest": q_packing_manifest,
 }
 
 ORACLES: dict[str, str] = {
@@ -1764,4 +1879,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_lsh": O_EMBEDDING_NEAR_DUP,
     "cdc_replay_sql": O_CDC_REPLAY_SQL,
     "top_tvl_tokens": O_TOP_TVL_TOKENS,
+    "repetition_metrics": O_REPETITION_METRICS,
+    "sequence_packing": O_SEQUENCE_PACKING,
+    "packing_manifest": O_PACKING_MANIFEST,
 }
