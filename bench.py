@@ -64,6 +64,7 @@ HEADLINE = [
     "curation_pipeline",
     "repetition_metrics",
     "sequence_packing",
+    "decontamination",
     "near_dup_pipeline",
     "stratified_sample",
     "minhash_lsh_pairs",

@@ -1772,6 +1772,55 @@ FROM s
 """
 
 
+def q_decontamination(spark, sf):
+    """Train/eval leakage check (GPT-3-style n-gram decontamination):
+    for every val/test doc of the standard 80/10/10 hash split, the
+    fraction of its distinct 5-gram shingles that appear anywhere in
+    the train split. One shuffle on the shingle key (train side
+    distinct'ed map-side), one doc-keyed agg — text never shuffles."""
+    from .operators.decontam import decontaminate
+    from .operators.sampling import hash_split
+
+    docs = hash_split(_t(spark, sf, "documents"), "doc_id", _SPLIT_WEIGHTS)
+    return decontaminate(docs, "doc_id", "text", ngram=5, threshold=0.3)
+
+
+def _o_decontamination() -> str:
+    from .operators.sampling import split_case_sql
+
+    case = split_case_sql("doc_id", _SPLIT_WEIGHTS)
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(5))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {case} AS split,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(range(1, len(toks) - 3),
+                                      i -> {gram})) AS shs
+  FROM t
+), train AS (
+  SELECT DISTINCT s AS shingle FROM sh, unnest(shs) AS u(s)
+  WHERE split = 'train'
+), ev AS (
+  SELECT doc_id, split, CAST(len(shs) AS BIGINT) AS n_shingles, shs
+  FROM sh WHERE split <> 'train'
+), hits AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM (SELECT doc_id, s FROM ev, unnest(shs) AS u(s)) e
+  JOIN train ON e.s = train.shingle
+  GROUP BY e.doc_id
+)
+SELECT ev.doc_id, split, n_shingles,
+  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+  round(coalesce(n_hit, 0) / greatest(n_shingles, 1), 6) AS contam_frac,
+  CAST(coalesce(n_hit, 0) / greatest(n_shingles, 1) >= 0.3 AS INTEGER)
+    AS is_contaminated
+FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -1829,6 +1878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_metrics": q_repetition_metrics,
     "sequence_packing": q_sequence_packing,
     "packing_manifest": q_packing_manifest,
+    "decontamination": q_decontamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -1882,4 +1932,5 @@ ORACLES: dict[str, str] = {
     "repetition_metrics": O_REPETITION_METRICS,
     "sequence_packing": O_SEQUENCE_PACKING,
     "packing_manifest": O_PACKING_MANIFEST,
+    "decontamination": _o_decontamination(),
 }
