@@ -327,6 +327,13 @@ def main():
             "total_speedup": round(total_ratio, 3),
             "total_scaling_efficiency": round(total_ratio / ideal, 3),
             "state_parity": len(shas) == 1,  # across EVERY run, both levels
+            # pre/post single-thread CPU probe per run per level —
+            # direct evidence of hypervisor contention in each run's
+            # window (reported, never used to adjust any statistic)
+            "calib_s": {
+                str(c): [r.get("calib_s") for r in all_runs[str(c)]]
+                for c in CDC_LEVELS
+            },
         }
         if batch_ratio is not None:
             cdc["batch_median_speedup"] = round(batch_ratio, 3)
@@ -387,6 +394,12 @@ def _append_bench_md(results: dict) -> None:
                 f"{cdc['clean_batch_median_scaling_efficiency']} "
                 f"(stalled batches excluded per level: "
                 f"{cdc['stalled_batches_excluded']})\n"
+            )
+        calib = cdc.get("calib_s")
+        if calib and any(v for v in calib.values()):
+            lines.append(
+                "  - CPU calibration s (fixed 600 MiB sha256, pre/post "
+                f"per run, per level): {calib}\n"
             )
         for c in CDC_LEVELS:
             wbr = cdc["levels"][str(c)].get("warm_batch_rates")

@@ -82,6 +82,24 @@ class CpuSampler:
         }
 
 
+def cpu_calibration(reps: int = 600) -> float:
+    """Fixed single-thread CPU probe: sha256 over a 1 MiB buffer,
+    `reps` passes (~0.5 s on this host when quiet). Run before and
+    after each level so every recorded run carries direct evidence of
+    how much CPU the hypervisor was actually delivering in its window —
+    a slow calibration with identical work is host contention, not the
+    engine. Reported, never used to adjust any number."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(reps):
+        h.update(buf)
+    h.hexdigest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     log_dir = sys.argv[2]
@@ -97,6 +115,7 @@ def main() -> None:
     from ton_etl_spark.schemas import REPOS_KEY_FIELDS, REPOS_SCHEMA
     from ton_etl_spark.session import get_spark
 
+    calib_pre = cpu_calibration()
     spark = get_spark(
         f"cdc-bench-{cores}",
         cores=cores,
@@ -221,6 +240,7 @@ def main() -> None:
         b["rate"] = round(b["events"] / (b["ms"] / 1000.0), 1) if b["ms"] else None
     out = {
         "cores": cores,
+        "calib_s": [calib_pre, cpu_calibration()],
         "wall_s": round(wall, 2),
         "n_events": n_events,
         "events_per_sec": round(n_events / wall, 1),
