@@ -1821,6 +1821,57 @@ FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
 """
 
 
+_MIX_WEIGHTS = {"en": 50, "de": 15, "es": 15, "fr": 10, "zh": 10}
+
+
+def q_corpus_mix(spark, sf):
+    """Deterministic corpus mixing to target language weights
+    (50/15/15/10/10 parts): the largest downsample-only corpus with the
+    requested proportions, each group keeping its quota docs with the
+    smallest sha256('mix-v1' || doc_id). Quota arithmetic is all-BIGINT
+    (no float rounding edge); output is the per-group audit manifest
+    with an id-sum checksum of the kept set."""
+    from .operators.mixing import mix_manifest
+
+    return mix_manifest(
+        _t(spark, sf, "documents"), "lang", "doc_id", _MIX_WEIGHTS
+    )
+
+
+def _o_corpus_mix() -> str:
+    total = sum(_MIX_WEIGHTS.values())
+    vals = ", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())
+    return f"""
+WITH w(lang, parts) AS (VALUES {vals}),
+c AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(parts AS BIGINT) AS parts
+  FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang, parts
+),
+t AS (SELECT min((n_total * {total}) // parts) AS t_max FROM c),
+q AS (
+  SELECT lang, n_total, CAST((t_max * parts) // {total} AS BIGINT) AS quota
+  FROM c, t
+),
+r AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+             ORDER BY sha256(concat('mix-v1', CAST(d.doc_id AS VARCHAR))),
+                      d.doc_id) AS rn
+  FROM documents d JOIN w ON d.lang = w.lang
+),
+k AS (
+  SELECT r.lang, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(doc_id) AS BIGINT) AS sum_ids
+  FROM r JOIN q ON r.lang = q.lang WHERE rn <= quota GROUP BY r.lang
+)
+SELECT q.lang, n_total, quota,
+  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(coalesce(sum_ids, 0) AS BIGINT) AS sum_ids
+FROM q LEFT JOIN k ON q.lang = k.lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -1879,6 +1930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "packing_manifest": q_packing_manifest,
     "decontamination": q_decontamination,
+    "corpus_mix": q_corpus_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -1933,4 +1985,5 @@ ORACLES: dict[str, str] = {
     "sequence_packing": O_SEQUENCE_PACKING,
     "packing_manifest": O_PACKING_MANIFEST,
     "decontamination": _o_decontamination(),
+    "corpus_mix": _o_corpus_mix(),
 }
