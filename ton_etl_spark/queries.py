@@ -1872,6 +1872,138 @@ FROM q LEFT JOIN k ON q.lang = k.lang
 """
 
 
+def q_vocab_topk(spark, sf):
+    """Global token-frequency top-15 (vocab-building precursor):
+    explode -> map-side-combined hash agg -> TakeOrderedAndProject
+    top-k; ties broken by token for a deterministic set."""
+    from .operators.vocab import vocab_topk
+
+    return vocab_topk(_t(spark, sf, "documents"), "text", k=15)
+
+
+O_VOCAB_TOPK = r"""
+SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+) WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 15
+"""
+
+
+def q_salient_terms(spark, sf):
+    """Per-source distinctive terms: top-3 tokens by in-source count
+    (ties by token), with global document frequency attached —
+    integer-only TF-IDF stand-in, hash-stable by construction."""
+    from .operators.vocab import source_salient_terms
+
+    return source_salient_terms(
+        _t(spark, sf, "documents"), "source", "text", k=3
+    )
+
+
+O_SALIENT_TERMS = r"""
+WITH tf AS (
+  SELECT source AS grp, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> '' GROUP BY source, tok
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), ranked AS (
+  SELECT grp, tf.tok, tf, df,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY tf DESC, tf.tok) AS rank
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+)
+SELECT grp, tok, tf, df, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_length_histogram(spark, sf):
+    """Fixed-width (500-char) doc-length histogram per language: pure
+    hash agg, BIGINT floor-div buckets."""
+    from .operators.vocab import length_histogram
+
+    return length_histogram(
+        _t(spark, sf, "documents"), "n_chars", 500, ["lang"]
+    )
+
+
+O_LENGTH_HISTOGRAM = """
+SELECT lang, CAST(n_chars // 500 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_len
+FROM documents GROUP BY 1, 2
+"""
+
+
+# deterministic PII injection shared by the Spark query and the oracle:
+# the corpus itself is synthetic word soup with no PII, so each engine
+# plants identical spans and the comparison exercises the real subject —
+# cross-engine equality of the RE2-subset scan/redact semantics down to
+# the sha256 of the redacted text.
+def q_pii_report(spark, sf):
+    """PII scan + redaction audit: per-doc match counts per kind and
+    sha256 of the redacted text. Zero shuffle, zero Python — the whole
+    scan/redact is one codegen'd projection."""
+    from .operators.pii import pii_report
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    injected = d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" call 555-867-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from 10."), (did % 256).cast("string"),
+                    F.lit(".0."), ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_report(injected, "doc_id", "text2")
+
+
+def _o_pii_report() -> str:
+    from .operators.pii import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    return f"""
+WITH inj AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+    AS text2
+  FROM documents
+), scanned AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text2, '{pats["email"]}')) AS BIGINT) AS n_email,
+    CAST(len(regexp_extract_all(text2, '{pats["phone"]}')) AS BIGINT) AS n_phone,
+    CAST(len(regexp_extract_all(text2, '{pats["ipv4"]}')) AS BIGINT) AS n_ipv4,
+    regexp_replace(regexp_replace(regexp_replace(text2,
+        '{pats["email"]}', '<EMAIL>', 'g'),
+        '{pats["phone"]}', '<PHONE>', 'g'),
+        '{pats["ipv4"]}', '<IPV4>', 'g') AS red
+  FROM inj
+)
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       n_email + n_phone + n_ipv4 AS n_pii,
+       sha256(red) AS redacted_sha
+FROM scanned
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -1931,6 +2063,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packing_manifest": q_packing_manifest,
     "decontamination": q_decontamination,
     "corpus_mix": q_corpus_mix,
+    "vocab_topk": q_vocab_topk,
+    "salient_terms": q_salient_terms,
+    "length_histogram": q_length_histogram,
+    "pii_report": q_pii_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -1986,4 +2122,8 @@ ORACLES: dict[str, str] = {
     "packing_manifest": O_PACKING_MANIFEST,
     "decontamination": _o_decontamination(),
     "corpus_mix": _o_corpus_mix(),
+    "vocab_topk": O_VOCAB_TOPK,
+    "salient_terms": O_SALIENT_TERMS,
+    "length_histogram": O_LENGTH_HISTOGRAM,
+    "pii_report": _o_pii_report(),
 }
