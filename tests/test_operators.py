@@ -390,3 +390,64 @@ def test_approx_distinct_within_documented_rsd(spark, sf):
         exact = r["exact_users"]
         err = abs(r["approx_users"] - exact) / max(exact, 1)
         assert err <= 3 * rsd, (r["event_type"], r["approx_users"], exact)
+
+
+def test_span_dedup_removes_later_occurrences_keeps_order(spark):
+    # doc 1 owns "a b c d e" (pos 0); doc 2 repeats it at pos 1 -> that
+    # occurrence is dropped and doc 2 reassembles WITHOUT the span but
+    # in original order.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique one two three four"),
+            (2, "zz yy xx ww vv a b c d e tail1 tail2 tail3 tail4 tail5"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in DD.span_dedup(docs, "doc_id", "text", 5).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_spans_kept"] == 2
+    assert out[2]["n_spans"] == 3 and out[2]["n_spans_kept"] == 2
+    import hashlib
+
+    assert out[2]["dedup_sha"] == hashlib.sha256(
+        b"zz yy xx ww vv tail1 tail2 tail3 tail4 tail5"
+    ).hexdigest()
+    assert out[1]["dedup_sha"] == hashlib.sha256(
+        b"a b c d e unique one two three four"
+    ).hexdigest()
+
+
+def test_span_dedup_first_occurrence_rule_is_doc_then_pos(spark):
+    # the SAME span in three docs: only (min doc_id, min pos) survives
+    docs = spark.createDataFrame(
+        [
+            (7, "x1 x2 x3 x4 x5 s s s s s"),
+            (3, "s s s s s"),
+            (5, "s s s s s y1 y2 y3 y4 y5"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in DD.span_dedup(docs, "doc_id", "text", 5).collect()
+    }
+    assert out[3]["n_spans_kept"] == 1  # the keeper
+    assert out[5]["n_spans_kept"] == 1  # only y-span survives
+    assert out[7]["n_spans_kept"] == 1  # only x-span survives
+    import hashlib
+
+    assert out[5]["dedup_sha"] == hashlib.sha256(b"y1 y2 y3 y4 y5").hexdigest()
+    assert out[3]["dedup_sha"] == hashlib.sha256(b"s s s s s").hexdigest()
+
+
+def test_span_dedup_all_spans_dropped_yields_empty_sha(spark):
+    docs = spark.createDataFrame(
+        [(1, "q q q q q"), (2, "q q q q q")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in DD.span_dedup(docs, "doc_id", "text", 5).collect()
+    }
+    import hashlib
+
+    assert out[2]["n_spans_kept"] == 0
+    assert out[2]["dedup_sha"] == hashlib.sha256(b"").hexdigest()

@@ -123,3 +123,25 @@ def test_hash_sampling_is_shuffle_free_and_jvm_only(spark):
     plan = plan_of(split)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_is_shuffle_free_and_jvm_only(spark):
+    from pyspark.sql import functions as F
+    from ton_etl_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    plan = plan_of(weighted_sample(docs, "doc_id", w))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_dedup_two_shuffles_zero_python(spark):
+    from ton_etl_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(span_dedup(docs, "doc_id", "text", 5))
+    # one Exchange for the keeper window over span, one for the
+    # per-doc reassembly groupBy (partial agg runs map-side)
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

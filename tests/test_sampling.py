@@ -130,3 +130,55 @@ def test_stratified_sample_matches_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_weighted_sample_deterministic_and_monotone(docs, spark):
+    from pyspark.sql import functions as F
+    from ton_etl_spark.operators.sampling import weighted_sample
+
+    w = F.least(F.lit(1.0), F.col("doc_id") / F.lit(1000.0))
+    a = {r["doc_id"] for r in weighted_sample(docs, "doc_id", w).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(docs.repartition(7), "doc_id", w).collect()
+    }
+    assert a == b  # partitioning-independent
+    # weight >= 1 rows are ALWAYS kept (the 'g' sentinel)
+    assert {i for i in range(1000, 2000)} <= a
+    # weight <= 0 rows are NEVER kept
+    assert 0 not in a
+    # overall keep count concentrates around sum(weights) ~ 500 + 1000
+    assert abs(len(a) - 1500) < 130
+    # same row + higher weight can only ADD rows (nested thresholds)
+    w2 = F.least(F.lit(1.0), F.col("doc_id") / F.lit(500.0))
+    a2 = {r["doc_id"] for r in weighted_sample(docs, "doc_id", w2).collect()}
+    assert a <= a2
+
+
+def test_weighted_sample_matches_duckdb(docs):
+    from pyspark.sql import functions as F
+    from ton_etl_spark.operators.sampling import weighted_sample
+
+    w = F.least(F.lit(1.0), F.col("doc_id") / F.lit(1000.0))
+    got = sorted(
+        r["doc_id"] for r in weighted_sample(docs, "doc_id", w).collect()
+    )
+    con = duckdb.connect()
+    exp = [
+        r[0]
+        for r in con.sql(
+            """
+      SELECT i AS doc_id FROM range(2000) t(i)
+      WHERE substr(sha256(concat('wsample-v1', CAST(i AS VARCHAR))), 1, 8)
+            < CASE
+                WHEN least(1.0, i / 1000.0) >= 1.0 THEN 'g'
+                WHEN least(1.0, i / 1000.0) <= 0.0 THEN '00000000'
+                ELSE lower(lpad(to_hex(CAST(floor(
+                       least(1.0, i / 1000.0) * 4294967296.0) AS BIGINT)),
+                     8, '0'))
+              END
+      ORDER BY 1
+    """
+        ).fetchall()
+    ]
+    assert got == exp

@@ -812,6 +812,7 @@ class CdcPipeline:
         kafka_options: dict[str, str] | None = None,
         maturity: int | None = None,   # event-age gate in LSN units (F5)
         blacklist=None,  # cdc.blacklist.LearnedBlacklist (F7), opt-in
+        cache_batch: bool | None = None,  # persist each raw micro-batch
     ):
         # the rename-resolution layer is specialized to the (repo, path)
         # key (chained-rename split, synthetic-row construction); wiring
@@ -842,15 +843,29 @@ class CdcPipeline:
         self.batches_applied = 0
         self.batch_results: list[dict] = []
         self.fail_after: int | None = None  # test hook: crash injection
+        # persist each raw micro-batch once: apply_batch scans the batch
+        # 2-3x (control aggregation, rename provenance when renames are
+        # present, merge decode) and each un-cached scan re-reads +
+        # re-decompresses the source files. The cache stores the RAW
+        # events (payload still zlib'd) — the wide decoded projection is
+        # deliberately NOT cached (see _rename_candidates narrow= docs).
+        # None = env default (CDC_CACHE_BATCH, off unless set).
+        if cache_batch is None:
+            import os as _os
+            cache_batch = _os.environ.get("CDC_CACHE_BATCH") == "1"
+        self.cache_batch = cache_batch
 
     def _handle(self, batch_df: DataFrame, batch_id: int) -> None:
         allev = cutoff = None
+        cached = None
         if self.gate is not None:
             pend = self.gate.read_pending()
             allev = batch_df if pend is None else batch_df.unionByName(pend)
             allev = allev.persist()
             cutoff = self.gate.cutoff_for_batch(batch_id)
             batch_df = allev
+        elif self.cache_batch:
+            cached = batch_df = batch_df.persist()
         res = apply_batch(
             self.spark,
             self.table,
@@ -884,6 +899,8 @@ class CdcPipeline:
                 cutoff_used=cutoff,
             )
             allev.unpersist()
+        if cached is not None:
+            cached.unpersist()
         self.batch_results.append(res)
         self.batches_applied += 1
         if self.fail_after is not None and self.batches_applied >= self.fail_after:

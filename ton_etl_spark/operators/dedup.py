@@ -302,3 +302,85 @@ def simhash_near_dups(
     return pairs.select(
         "id_a", "id_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def doc_spans(
+    df: DataFrame, id_col: str, text_col: str, span_words: int = 5
+) -> DataFrame:
+    """Explode each document into fixed-width word spans (C4-style
+    span units): tokens grouped into consecutive `span_words`-word
+    chunks, each tagged with its 0-based position. The splitting is a
+    pure column expression (split / sequence / slice / array_join —
+    all codegen'd) chosen so the identical chunking is one line of
+    ANSI SQL for the oracle (list slicing over regexp_split_to_array).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * span_words + 1, span_words), " "
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span")
+    )
+    return ex.select(id_col, F.col("pos").cast("long").alias("pos"), "span")
+
+
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, span_words: int = 5
+) -> DataFrame:
+    """C4-style span-level exact dedup with order-preserving
+    reassembly (reference analogue: none — this is the C4/mC4
+    three-sentence dedup rule re-expressed over fixed word windows,
+    a first-class LLM-curation operator).
+
+    Rule: a span occurrence survives iff it is the FIRST occurrence of
+    that exact span corpus-wide, ordered by (doc_id, pos); later
+    occurrences are dropped and the document is reassembled from its
+    surviving spans in original order.
+
+    Output per document: `n_spans`, `n_spans_kept`, and `dedup_sha`
+    (sha256 of the reassembled text; empty-string sha when every span
+    was dropped) — compact, engine-portable columns the DuckDB oracle
+    reproduces exactly.
+
+    Scale shape: two shuffles — one window over the span value to pick
+    keepers (at 100 TB you would window over xxhash64(span) to shrink
+    the shuffle key and salt-split any megaspan; the raw span is used
+    here because the oracle must agree bit-for-bit), then one groupBy
+    doc to reassemble. collect_list is NOT order-stable, so reassembly
+    sorts struct(pos, span) arrays post-collect (array_sort is JVM-
+    side). No Python anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    s = doc_spans(df, id_col, text_col, span_words)
+    w = W.partitionBy("span").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    k = s.select(
+        id_col, "pos", "span",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    kept_txt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keep"), F.struct("pos", "span"))
+                )
+            ),
+            lambda x: x.span,
+        ),
+        " ",
+    )
+    return (
+        k.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("keep").cast("long")).alias("n_spans_kept"),
+            F.sha2(kept_txt, 256).alias("dedup_sha"),
+        )
+        .select(
+            id_col, "n_spans", "n_spans_kept", "dedup_sha",
+        )
+    )

@@ -134,3 +134,38 @@ def split_case_sql(id_col: str, weights: dict[str, float], salt: str = "split-v1
         parts.append(f"WHEN {b} < '{bound}' THEN '{name}'")
     last = list(weights)[-1]
     return "CASE " + " ".join(parts) + f" ELSE '{last}' END"
+
+
+def weighted_threshold_hex(weight: Column) -> Column:
+    """Per-row hex threshold column: the row-wise generalization of
+    `threshold_hex` — floor(weight * 2^32) rendered as 8 lowercase hex
+    chars, with weight >= 1 mapped to the above-all sentinel "g" and
+    weight <= 0 mapped to "00000000" (keeps nothing under strict <).
+    Spark `hex()` and DuckDB `to_hex()` agree on BIGINT inputs, so the
+    same arithmetic is one line of ANSI SQL for the oracle."""
+    n = F.floor(weight * F.lit(float(_HEX_SPACE))).cast("long")
+    return (
+        F.when(weight >= 1.0, F.lit("g"))
+        .when(weight <= 0.0, F.lit("00000000"))
+        .otherwise(F.lower(F.lpad(F.hex(n), 8, "0")))
+    )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight: Column, salt: str = "wsample-v1"
+) -> DataFrame:
+    """Per-row weighted Bernoulli keep: row kept iff its hash bucket
+    falls below floor(weight * 2^32) / 2^32 — i.e. kept with
+    probability clamp(weight, 0, 1), but DETERMINISTICALLY: the same
+    row with the same weight is kept or dropped identically on every
+    run, every partitioning, every engine. This is the quality-
+    proportional downsampling primitive (keep high-quality documents
+    with higher probability) that `sample()`-with-a-seed cannot give
+    reproducibly across engines.
+
+    Scale shape: identical to hash_sample — pure codegen'd column
+    expressions, zero shuffles, the predicate evaluates at the scan.
+    """
+    return df.filter(
+        bucket_hex(id_col, salt) < weighted_threshold_hex(weight)
+    )

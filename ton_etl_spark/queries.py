@@ -2004,6 +2004,75 @@ FROM scanned
 """
 
 
+def q_span_dedup(spark, sf):
+    """C4-style span-level exact dedup (fixed 5-word spans): a span
+    occurrence survives iff it is the first occurrence corpus-wide by
+    (doc_id, pos); documents are reassembled from surviving spans in
+    original order. Output is compact and engine-portable: per-doc
+    span counts plus sha256 of the reassembled text, which the DuckDB
+    oracle reproduces bit-for-bit. Two shuffles (keeper window over
+    the span value, groupBy doc to reassemble), zero Python."""
+    from .operators.dedup import span_dedup
+
+    return span_dedup(_t(spark, sf, "documents"), "doc_id", "text", 5)
+
+
+O_SPAN_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, CAST(ceil(len(toks)/5.0) AS BIGINT)))
+              AS BIGINT) AS pos,
+         unnest([array_to_string(toks[(i*5+1):(i*5+5)], ' ')
+                 for i in range(0, CAST(ceil(len(toks)/5.0) AS BIGINT))])
+           AS span
+  FROM t
+), k AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_spans_kept,
+       sha256(coalesce(
+         string_agg(span, ' ' ORDER BY pos) FILTER (rn = 1), ''
+       )) AS dedup_sha
+FROM k GROUP BY doc_id
+"""
+
+
+def q_weighted_sample(spark, sf):
+    """Per-row weighted Bernoulli sample: each document kept with
+    probability min(1, n_chars / 400) — longer documents kept more
+    often — but deterministically (hash bucket vs per-row threshold),
+    so the same rows are kept on every run, partitioning, and engine.
+    The quality-proportional downsampling primitive. Zero shuffles;
+    the predicate is codegen'd and evaluates at the scan."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    return weighted_sample(docs, "doc_id", w, salt="wsample-v1").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+O_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(sha256(concat('wsample-v1', CAST(doc_id AS VARCHAR))), 1, 8)
+      < CASE
+          WHEN least(1.0, n_chars / 400.0) >= 1.0 THEN 'g'
+          WHEN least(1.0, n_chars / 400.0) <= 0.0 THEN '00000000'
+          ELSE lower(lpad(to_hex(CAST(floor(
+                 least(1.0, n_chars / 400.0) * 4294967296.0) AS BIGINT)),
+               8, '0'))
+        END
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -2067,6 +2136,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salient_terms": q_salient_terms,
     "length_histogram": q_length_histogram,
     "pii_report": q_pii_report,
+    "span_dedup": q_span_dedup,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2126,4 +2197,6 @@ ORACLES: dict[str, str] = {
     "salient_terms": O_SALIENT_TERMS,
     "length_histogram": O_LENGTH_HISTOGRAM,
     "pii_report": _o_pii_report(),
+    "span_dedup": O_SPAN_DEDUP,
+    "weighted_sample": O_WEIGHTED_SAMPLE,
 }
