@@ -451,3 +451,49 @@ def test_span_dedup_all_spans_dropped_yields_empty_sha(spark):
 
     assert out[2]["n_spans_kept"] == 0
     assert out[2]["dedup_sha"] == hashlib.sha256(b"").hexdigest()
+
+
+def test_doc_chunks_overlap_and_tail(spark):
+    from ton_etl_spark.operators.text import doc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")], "doc_id long, text string"
+    )
+    rows = sorted(
+        doc_chunks(docs, "doc_id", "text", window=8, stride=4).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts 0, 4, 8 -> lens 8, 6, 2 (tail windows shorten)
+    assert [r["chunk_len"] for r in rows] == [8, 6, 2]
+    import hashlib
+
+    assert rows[0]["chunk_sha"] == hashlib.sha256(
+        b"w0 w1 w2 w3 w4 w5 w6 w7"
+    ).hexdigest()
+    assert rows[2]["chunk_sha"] == hashlib.sha256(b"w8 w9").hexdigest()
+
+
+def test_semantic_dedup_cluster_scoped_lowest_id_keeper(spark):
+    from ton_etl_spark.operators.similarity import semantic_dedup
+
+    # cluster 0: ids 1,2,3 all parallel (cosine 1.0) -> only id 1 kept
+    # cluster 1: id 4 is parallel to cluster 0's vectors but lives in
+    #            another cluster -> kept (dedup is cluster-scoped)
+    #            id 5 orthogonal -> kept
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [2.0, 0.0]),
+        (3, 0, [0.5, 0.0]),
+        (4, 1, [1.0, 0.0]),
+        (5, 1, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, v array<double>"
+    )
+    out = {
+        r["vec_id"]: r["is_kept"]
+        for r in semantic_dedup(
+            df, id_col="vec_id", cluster_col="cluster", vec_col="v"
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: True, 5: True}

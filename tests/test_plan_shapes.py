@@ -145,3 +145,25 @@ def test_span_dedup_two_shuffles_zero_python(spark):
     # per-doc reassembly groupBy (partial agg runs map-side)
     assert plan.count("Exchange") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_chunks_shuffle_free_and_jvm_only(spark):
+    from ton_etl_spark.operators.text import doc_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(doc_chunks(docs, "doc_id", "text", 8, 4))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_shuffle_avoids_global_data_sort(spark):
+    from ton_etl_spark.operators.sampling import corpus_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(corpus_shuffle(docs, "doc_id"))
+    # ranks are computed per hash-bucket — the DATA is hash-partitioned,
+    # never range-partitioned through a global sort; the only
+    # single-partition step is the 256-row bucket-offset window
+    assert "hashpartitioning(_b" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

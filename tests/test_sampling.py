@@ -182,3 +182,46 @@ def test_weighted_sample_matches_duckdb(docs):
         ).fetchall()
     ]
     assert got == exp
+
+
+def test_corpus_shuffle_is_permutation_and_partition_independent(docs, spark):
+    from ton_etl_spark.operators.sampling import corpus_shuffle
+
+    a = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in corpus_shuffle(docs, "doc_id").collect()
+    }
+    assert sorted(a.values()) == list(range(1, len(a) + 1))  # bijection
+    b = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in corpus_shuffle(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b  # partitioning-independent
+    # a different salt is an independent epoch order
+    c = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in corpus_shuffle(docs, "doc_id", salt="epoch-2").collect()
+    }
+    assert c != a and sorted(c.values()) == sorted(a.values())
+
+
+def test_corpus_shuffle_matches_duckdb(docs):
+    from ton_etl_spark.operators.sampling import corpus_shuffle
+
+    got = sorted(
+        (r["doc_id"], r["shuffle_pos"])
+        for r in corpus_shuffle(docs, "doc_id").collect()
+    )
+    con = duckdb.connect()
+    exp = sorted(
+        con.sql(
+            """
+      SELECT i AS doc_id,
+             row_number() OVER (
+               ORDER BY sha256(concat('shuffle-v1', CAST(i AS VARCHAR))), i
+             ) AS pos
+      FROM range(2000) t(i)
+    """
+        ).fetchall()
+    )
+    assert got == exp

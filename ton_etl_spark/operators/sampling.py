@@ -169,3 +169,62 @@ def weighted_sample(
     return df.filter(
         bucket_hex(id_col, salt) < weighted_threshold_hex(weight)
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle-v1",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global shuffle ORDER for training: every row gets
+    a 1-based `shuffle_pos` equal to its rank under sha256(salt || id)
+    — a reproducible, partitioning-independent, engine-portable random
+    permutation of the corpus (the "shuffle the training data the same
+    way on every run / engine" primitive; change the salt to get an
+    independent epoch order).
+
+    Scale shape: NOT a global single-partition sort. The hash key's
+    leading byte buckets rows into `n_buckets` uniform groups; ranks
+    are computed per-bucket (one hash shuffle), bucket offsets are a
+    `n_buckets`-row side computation, and global_pos = offset +
+    within-bucket rank via a broadcast join. The only single-partition
+    step touches `n_buckets` rows, never the data. Writing the corpus
+    range-partitioned by the same key yields files in shuffle order.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.sha2(F.concat(F.lit(salt), F.col(id_col).cast("string")), 256)
+    # leading-byte bucket: 16^2 = 256 uniform buckets for the default;
+    # n_buckets must be a power of 16 so a hex prefix addresses it
+    px = 0
+    n = n_buckets
+    while n > 1:
+        n //= 16
+        px += 1
+    if 16 ** px != n_buckets:
+        raise ValueError(f"n_buckets must be a power of 16, got {n_buckets}")
+    keyed = df.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.substring(h, 1, px).alias("_b"),
+    )
+    wb = W.partitionBy("_b").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    ranked = keyed.withColumn("_r", F.row_number().over(wb))
+    # bucket sizes -> exclusive prefix-sum offsets; n_buckets rows, so
+    # the single-partition window here is O(n_buckets), not O(data)
+    woff = W.orderBy(F.col("_b").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = (
+        ranked.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), on="_b")
+        .select(
+            id_col,
+            (F.col("_off") + F.col("_r")).cast("long").alias("shuffle_pos"),
+        )
+    )

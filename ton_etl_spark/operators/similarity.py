@@ -473,3 +473,63 @@ def ann_lsh_topk(
             F.col("_rn").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each cluster, a
+    row is DROPPED iff a lower-id row of the same cluster has
+    round(cosine, score_decimals) >= threshold — i.e. the smallest-id
+    member of every semantic-duplicate group is the canonical keeper.
+    The keep rule is non-recursive (existence of ANY lower-id near
+    neighbor, kept or not), which makes it order-free, deterministic
+    at any parallelism, and expressible in one ANSI-SQL EXISTS for the
+    oracle. Clusters come from any partitioner — kmeans/IVF centroids
+    (`train_centroids` + `_ivf_assign_udf`) at scale, or a label
+    column in tests.
+
+    Output: (id, cluster, is_kept) for every input row.
+
+    Scale shape: the quadratic comparison runs ONLY within a cluster
+    (the whole point of SemDeDup — cluster first so n^2 is per-cell,
+    not corpus-wide); one shuffle on the cluster key for the self-join,
+    then a broadcast-sized dropped-id set joins back. No Python."""
+    v = F.col(vec_col).cast("array<double>")
+    a = df.select(
+        F.col(id_col).alias("_ida"),
+        F.col(cluster_col).alias("_cl"),
+        v.alias("_va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("_idb"),
+        F.col(cluster_col).alias("_cl"),
+        v.alias("_vb"),
+    )
+    dropped = (
+        a.join(b, on="_cl")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(
+            F.round(cosine(F.col("_va"), F.col("_vb")), score_decimals)
+            >= threshold
+        )
+        .select(F.col("_ida").alias("_dropped_id"))
+        .distinct()
+    )
+    return (
+        df.join(
+            F.broadcast(dropped),
+            F.col(id_col) == F.col("_dropped_id"),
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col(cluster_col).alias("cluster"),
+            F.col("_dropped_id").isNull().alias("is_kept"),
+        )
+    )

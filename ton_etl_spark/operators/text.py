@@ -226,3 +226,44 @@ def analyze(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         detect_language(t).alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def doc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into
+    overlapping word windows of `window` tokens starting every
+    `stride` tokens (start positions 0, stride, 2*stride, ... while
+    start < n_tokens; tail windows may be shorter). This is the
+    long-document context-window prep primitive — overlapping chunks
+    preserve cross-boundary context that disjoint packing loses.
+
+    Output per chunk: (id, chunk_idx, chunk_len, chunk_sha) — compact,
+    engine-portable columns (sha256 of the space-joined chunk) so the
+    DuckDB oracle checks the chunking bit-for-bit via list slicing.
+
+    Scale shape: pure column expressions (split / sequence / slice /
+    array_join / posexplode — all JVM-side), zero shuffles, zero
+    Python; chunking 100 TB is a projection, not a job.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1, got {window}, {stride}")
+    toks = ws_tokens(F.col(text_col))
+    n_starts = F.ceil(F.size(toks) / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.slice(toks, i * stride + 1, window),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    )
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("_c").cast("long").alias("chunk_len"),
+        F.sha2(F.array_join("_c", " "), 256).alias("chunk_sha"),
+    )

@@ -2073,6 +2073,111 @@ WHERE substr(sha256(concat('wsample-v1', CAST(doc_id AS VARCHAR))), 1, 8)
 """
 
 
+def q_corpus_shuffle(spark, sf):
+    """Deterministic global shuffle order: every document ranked by
+    sha256(salt || doc_id) — a reproducible random permutation of the
+    training corpus, identical on every run, partitioning, and engine.
+    Scale shape: NOT a global sort — rows bucket by the hash's leading
+    byte, rank within buckets (one hash shuffle), and a 256-row offset
+    table broadcast-joins the global position back."""
+    from .operators.sampling import corpus_shuffle
+
+    return corpus_shuffle(_t(spark, sf, "documents"), "doc_id")
+
+
+O_CORPUS_SHUFFLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY sha256(concat('shuffle-v1', CAST(doc_id AS VARCHAR))),
+                  doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+def q_doc_chunks(spark, sf):
+    """Sliding-window token chunking (window 8, stride 4): each
+    document split into overlapping word windows for long-document
+    context prep; tail windows may be shorter. Output is compact and
+    engine-portable (per-chunk length + sha256), checked bit-for-bit
+    by DuckDB list slicing. Zero shuffles, zero Python — chunking is
+    a codegen'd projection at the scan."""
+    from .operators.text import doc_chunks
+
+    return doc_chunks(_t(spark, sf, "documents"), "doc_id", "text", 8, 4)
+
+
+O_DOC_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, CAST(ceil(len(toks)/4.0) AS BIGINT)))
+              AS BIGINT) AS chunk_idx,
+         unnest([toks[(i*4+1):(i*4+8)]
+                 for i in range(0, CAST(ceil(len(toks)/4.0) AS BIGINT))])
+           AS c
+  FROM t
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(c) AS BIGINT) AS chunk_len,
+       sha256(array_to_string(c, ' ')) AS chunk_sha
+FROM s
+"""
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic dedup on the planted near-dup corpus:
+    clusters = the embeddings' label column (kmeans/IVF assignment at
+    scale); within each cluster a vector is dropped iff a lower-id
+    cluster-mate has cosine >= 0.95. Every planted perturbed copy
+    (id+1000, same cluster as its base, cosine ~0.99) is dropped; all
+    bases are kept. The non-recursive lower-id rule makes the result
+    order-free and one ANSI EXISTS for the oracle."""
+    e = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    partner = e.select(F.col("vec_id").alias("_pid"), F.col("v").alias("_pv"))
+    pert = e.join(
+        F.broadcast(partner),
+        (F.col("vec_id") + 137) % 200 == F.col("_pid"),
+    ).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        "label",
+        F.zip_with("v", "_pv", lambda x, y: x + 0.15 * y).alias("v"),
+    )
+    corpus = e.unionByName(pert)
+    return SIM.semantic_dedup(
+        corpus, id_col="vec_id", cluster_col="label", vec_col="v",
+        threshold=0.95,
+    )
+
+
+O_SEMANTIC_DEDUP = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 200),
+pert AS (
+  SELECT a.vec_id + 1000 AS vec_id, a.label,
+         list_transform(list_zip(a.v, b.v), x -> x[1] + 0.15 * x[2]) AS v
+  FROM e a JOIN e b ON b.vec_id = (a.vec_id + 137) % 200),
+corpus AS (SELECT * FROM e UNION ALL SELECT * FROM pert)
+SELECT c.vec_id, c.label AS cluster,
+       NOT EXISTS (
+         SELECT 1 FROM corpus d
+         WHERE d.label = c.label AND d.vec_id < c.vec_id
+           AND round(list_cosine_similarity(d.v, c.v), 6) >= 0.95
+       ) AS is_kept
+FROM corpus c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -2138,6 +2243,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_report": q_pii_report,
     "span_dedup": q_span_dedup,
     "weighted_sample": q_weighted_sample,
+    "corpus_shuffle": q_corpus_shuffle,
+    "doc_chunks": q_doc_chunks,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2199,4 +2307,7 @@ ORACLES: dict[str, str] = {
     "pii_report": _o_pii_report(),
     "span_dedup": O_SPAN_DEDUP,
     "weighted_sample": O_WEIGHTED_SAMPLE,
+    "corpus_shuffle": O_CORPUS_SHUFFLE,
+    "doc_chunks": O_DOC_CHUNKS,
+    "semantic_dedup": O_SEMANTIC_DEDUP,
 }
