@@ -66,6 +66,9 @@ HEADLINE = [
     "sequence_packing",
     "decontamination",
     "near_dup_pipeline",
+    "span_dedup",
+    "doc_chunks",
+    "corpus_shuffle",
     "stratified_sample",
     "minhash_lsh_pairs",
     "minhash_near_dup",

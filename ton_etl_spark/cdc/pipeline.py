@@ -850,6 +850,11 @@ class CdcPipeline:
         # events (payload still zlib'd) — the wide decoded projection is
         # deliberately NOT cached (see _rename_candidates narrow= docs).
         # None = env default (CDC_CACHE_BATCH, off unless set).
+        # Default OFF on measurement: interleaved 2x2 A/B at local[4],
+        # 6M events (BENCH.md 2026-08-19) — warm rate off 40.6/40.8k
+        # ev/s vs on 40.5/37.8k; memory-serializing 1M-row batches
+        # costs more than the re-scan it saves (source files sit in
+        # the OS page cache, so the repeat scans pay only decompress).
         if cache_batch is None:
             import os as _os
             cache_batch = _os.environ.get("CDC_CACHE_BATCH") == "1"

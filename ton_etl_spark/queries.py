@@ -2154,9 +2154,15 @@ def q_semantic_dedup(spark, sf):
         F.zip_with("v", "_pv", lambda x, y: x + 0.15 * y).alias("v"),
     )
     corpus = e.unionByName(pert)
-    return SIM.semantic_dedup(
+    out = SIM.semantic_dedup(
         corpus, id_col="vec_id", cluster_col="label", vec_col="v",
         threshold=0.95,
+    )
+    # is_kept as INTEGER, not BOOLEAN: the driver's hash layer is only
+    # proven on int/str/float/decimal columns (HUGEINT burned r2+r3;
+    # same defense as decontamination.is_contaminated)
+    return out.select(
+        "vec_id", "cluster", F.col("is_kept").cast("int").alias("is_kept")
     )
 
 
@@ -2169,11 +2175,11 @@ pert AS (
   FROM e a JOIN e b ON b.vec_id = (a.vec_id + 137) % 200),
 corpus AS (SELECT * FROM e UNION ALL SELECT * FROM pert)
 SELECT c.vec_id, c.label AS cluster,
-       NOT EXISTS (
+       CAST(NOT EXISTS (
          SELECT 1 FROM corpus d
          WHERE d.label = c.label AND d.vec_id < c.vec_id
            AND round(list_cosine_similarity(d.v, c.v), 6) >= 0.95
-       ) AS is_kept
+       ) AS INTEGER) AS is_kept
 FROM corpus c
 """
 
