@@ -1,5 +1,6 @@
 from .table import LakeTable
 from .merge import merge_into
 from .consumer import ChangeFeedConsumer
+from .dedup_index import DedupIndex
 
-__all__ = ["LakeTable", "merge_into", "ChangeFeedConsumer"]
+__all__ = ["LakeTable", "merge_into", "ChangeFeedConsumer", "DedupIndex"]

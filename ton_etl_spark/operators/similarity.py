@@ -498,8 +498,12 @@ def semantic_dedup(
 
     Scale shape: the quadratic comparison runs ONLY within a cluster
     (the whole point of SemDeDup — cluster first so n^2 is per-cell,
-    not corpus-wide); one shuffle on the cluster key for the self-join,
-    then a broadcast-sized dropped-id set joins back. No Python."""
+    not corpus-wide); one shuffle on the cluster key for the self-join.
+    The dropped-id set joins back WITHOUT a forced broadcast: its size
+    is the duplicate count — potentially a large fraction of the
+    corpus — so the join strategy is left to the optimizer/AQE (which
+    broadcasts when the runtime size allows, shuffles when it
+    doesn't). No Python."""
     v = F.col(vec_col).cast("array<double>")
     a = df.select(
         F.col(id_col).alias("_ida"),
@@ -523,7 +527,7 @@ def semantic_dedup(
     )
     return (
         df.join(
-            F.broadcast(dropped),
+            dropped,
             F.col(id_col) == F.col("_dropped_id"),
             "left",
         )

@@ -2184,6 +2184,62 @@ FROM corpus c
 """
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental exact dedup through the lake-backed DedupIndex: the
+    documents table arrives as two CDC-style deltas (doc_id < 200,
+    then the rest); each delta is deduplicated against EVERYTHING
+    ingested before it via a bucket-aligned anti-join on content
+    sha256, and the index is committed exactly-once per batch. Output:
+    batch 2's novel rows — within-batch duplicates collapse to the
+    smallest doc_id, cross-batch duplicates (text already seen in
+    batch 1) drop. The oracle recomputes the same two-step replay in
+    pure SQL."""
+    import tempfile
+
+    from .lake.dedup_index import DedupIndex
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    # the testdata has no exact text duplicates, so PLANT them
+    # deterministically (same pattern as the near-dup corpora): every
+    # 7th document re-arrives as doc_id + 100000 with identical text —
+    # copies of batch-1 docs exercise the cross-batch drop, copies of
+    # batch-2 docs the within-batch smallest-id collapse
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    idx = DedupIndex.create(
+        spark, tempfile.mkdtemp(prefix="dedup_idx_"), bucket_count=4
+    )
+    b1 = corpus.filter(F.col("doc_id") < 200)
+    idx.filter_novel(b1, "doc_id", "text", batch_id=1).count()  # ingest
+    b2 = corpus.filter(F.col("doc_id") >= 200)
+    novel = idx.filter_novel(b2, "doc_id", "text", batch_id=2)
+    return novel.select(
+        "doc_id", F.sha2(F.col("text").cast("string"), 256).alias("content_sha")
+    )
+
+
+O_INCREMENTAL_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0
+),
+b1 AS (SELECT sha256(text) AS sha FROM corpus WHERE doc_id < 200),
+b2 AS (SELECT doc_id, sha256(text) AS sha FROM corpus
+       WHERE doc_id >= 200),
+firsts AS (
+  SELECT doc_id, sha,
+         row_number() OVER (PARTITION BY sha ORDER BY doc_id) AS rn
+  FROM b2
+)
+SELECT doc_id, sha AS content_sha FROM firsts
+WHERE rn = 1 AND sha NOT IN (SELECT sha FROM b1)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -2252,6 +2308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shuffle": q_corpus_shuffle,
     "doc_chunks": q_doc_chunks,
     "semantic_dedup": q_semantic_dedup,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2316,4 +2373,5 @@ ORACLES: dict[str, str] = {
     "corpus_shuffle": O_CORPUS_SHUFFLE,
     "doc_chunks": O_DOC_CHUNKS,
     "semantic_dedup": O_SEMANTIC_DEDUP,
+    "incremental_dedup": O_INCREMENTAL_DEDUP,
 }
