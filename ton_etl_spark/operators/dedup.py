@@ -68,19 +68,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_perm: int = 16,
-    bands: int = 4,
-    k: int = 3,
+def band_rows(
+    sig: DataFrame, id_col: str, n_perm: int, bands: int
 ) -> DataFrame:
-    """MinHash-LSH: docs agreeing on any band are candidate near-dups.
-    Shuffle key is (band_idx, band_hash) — bounded buckets, no O(n^2)."""
+    """Explode a signature frame (id, signature array<long>) into LSH
+    band rows (id, band, band_hash) — the unit the band join and the
+    incremental near-dup index (lake/neardup_index.py) both key on."""
     rows_per_band = n_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n_perm, k)
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.transform(
@@ -104,6 +99,20 @@ def lsh_candidate_pairs(
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.band_hash")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH: docs agreeing on any band are candidate near-dups.
+    Shuffle key is (band_idx, band_hash) — bounded buckets, no O(n^2)."""
+    sig = minhash_signatures(df, id_col, text_col, n_perm, k)
+    banded = band_rows(sig, id_col, n_perm, bands)
     a, bb = banded.alias("a"), banded.alias("b")
     return (
         a.join(

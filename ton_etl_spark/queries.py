@@ -2220,6 +2220,66 @@ def q_incremental_dedup(spark, sf):
     )
 
 
+def q_incremental_near_dup(spark, sf):
+    """Incremental NEAR-dup dedup through the lake-backed NearDupIndex:
+    the doc_id < 300 corpus (the same naturally near-dup-dense slice
+    minhash_near_dup uses) arrives as two CDC-style deltas (doc_id <
+    150, then the rest); each delta is near-deduplicated against every
+    KEPT document before it via the persistent MinHash band index +
+    exact-Jaccard verification, and the index commits exactly-once per
+    batch. Output: batch 2's novel doc ids. The oracle replays the
+    same two-step decision rule from the exact all-pairs Jaccard in
+    pure SQL — including the subtlety that a batch-2 doc similar only
+    to a DROPPED batch-1 doc stays novel."""
+    import tempfile
+
+    from .lake.neardup_index import NearDupIndex
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 300
+    )
+    idx = NearDupIndex.create(
+        spark, tempfile.mkdtemp(prefix="nd_idx_"), bucket_count=4,
+        n_perm=16, bands=16, k=1,
+    )
+    b1 = docs.filter(F.col("doc_id") < 150)
+    idx.filter_novel(b1, "doc_id", "text", 1, corpus_text=docs).count()
+    b2 = docs.filter(F.col("doc_id") >= 150)
+    novel = idx.filter_novel(b2, "doc_id", "text", 2, corpus_text=docs)
+    return novel.select(
+        "doc_id", F.sha2(F.col("text").cast("string"), 256).alias("content_sha")
+    )
+
+
+O_INCREMENTAL_NEAR_DUP = """
+WITH s AS (
+  SELECT doc_id, text,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+  FROM documents WHERE doc_id < 300
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT a.doc_id ia, b.doc_id ib,
+           round(len(list_intersect(a.toks, b.toks))
+                 / len(list_distinct(a.toks || b.toks)), 6) j
+    FROM s a, s b WHERE a.doc_id < b.doc_id
+  ) WHERE j >= 0.8
+),
+kept1 AS (
+  SELECT doc_id FROM s WHERE doc_id < 150
+  AND doc_id NOT IN (SELECT ib FROM pairs WHERE ia < 150 AND ib < 150)
+),
+drop2 AS (
+  SELECT p.ib AS d FROM pairs p JOIN kept1 k ON p.ia = k.doc_id
+  WHERE p.ib >= 150
+  UNION
+  SELECT ib FROM pairs WHERE ia >= 150
+)
+SELECT doc_id, sha256(text) AS content_sha FROM s
+WHERE doc_id >= 150 AND doc_id NOT IN (SELECT d FROM drop2)
+"""
+
+
 O_INCREMENTAL_DEDUP = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -2309,6 +2369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_near_dup": q_incremental_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2374,4 +2435,5 @@ ORACLES: dict[str, str] = {
     "doc_chunks": O_DOC_CHUNKS,
     "semantic_dedup": O_SEMANTIC_DEDUP,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
+    "incremental_near_dup": O_INCREMENTAL_NEAR_DUP,
 }
