@@ -55,15 +55,25 @@ class ChangeFeedConsumer:
             f.write(str(version))
         os.replace(tmp, self._cursor_path)
 
-    def poll(self, fn, include_deleted: bool = True) -> dict:
+    def poll(self, fn, include_deleted: bool = True,
+             max_versions: int | None = None) -> dict:
         """Deliver all rows committed after the cursor to
         `fn(DataFrame)`, then advance the cursor. `fn` failure leaves
         the cursor untouched — the next poll redelivers
         (at-least-once). The read is pinned to the head version seen at
         poll start, so a concurrent commit mid-poll is never half-read;
-        its rows arrive in the next poll."""
+        its rows arrive in the next poll.
+
+        `max_versions` bounds how many commits one poll consumes.
+        Consumers that key per-delivery state on the version (e.g. the
+        curation feed's DedupIndex batch ids) use max_versions=1 so a
+        delivery's identity is stable across crash re-polls — a
+        re-poll after a mid-delivery crash then covers exactly the
+        same commit even if new commits landed meanwhile."""
         head = self.table.current_version()
         since = self.cursor()
+        if max_versions is not None:
+            head = min(head, since + max_versions)
         if head <= since:
             return {"delivered": False, "cursor": since, "version": head}
         feed = self.table.read_version_changes(

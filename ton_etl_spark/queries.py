@@ -2220,6 +2220,113 @@ def q_incremental_dedup(spark, sf):
     )
 
 
+def q_novel_content_feed(spark, sf):
+    """End-to-end ingest-time curation: a deterministic CDC change log
+    derived from `events` is replayed through the REAL streaming
+    pipeline into a lake table, then `NovelContentFeed` tails that
+    table's change feed one commit at a time (change feed → DedupIndex
+    → idempotent sink) and materializes the FIRST occurrence of every
+    distinct content. Keys are unique per event (no overwrites) and
+    contents collide mod 37, so the oracle is the pure-SQL
+    first-occurrence rule ordered by (arrival micro-batch, lsn) —
+    copy-on-write carried-row redeliveries in the feed must be
+    absorbed by the index for the row set to match."""
+    import base64
+    import json as _json
+    import os
+    import tempfile
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .cdc.curation import NovelContentFeed
+    from .cdc.pipeline import CdcPipeline
+    from .lake.table import LakeTable
+    from .schemas import REPOS_KEY_FIELDS, REPOS_SCHEMA
+
+    ids = pq.read_table(
+        os.path.join(sf, "events.parquet"), columns=["event_id"]
+    )["event_id"].to_pylist()
+    ids = sorted(e for e in set(ids) if e < 2000)
+
+    N_FILES = 4
+    rows: dict[int, list] = {i: [] for i in range(N_FILES)}
+    for e in ids:
+        content = f"c-{e % 37}"
+        payload = _json.dumps(
+            {
+                "commit": f"c{e}",
+                "lang": "py",
+                "content_z": base64.b64encode(
+                    zlib.compress(content.encode(), 1)
+                ).decode(),
+                "size_scale": 0,
+                "size_value": base64.b64encode(
+                    len(content).to_bytes(4, "big", signed=True)
+                ).decode(),
+            },
+            separators=(",", ":"),
+        )
+        rows[e % N_FILES].append(
+            (e, e, "u", "file_upsert", f"r{e % 7}", f"p{e}", payload)
+        )
+
+    work = tempfile.mkdtemp(prefix="novel_feed_")
+    log_dir = os.path.join(work, "events")
+    os.makedirs(log_dir)
+    t0 = 1_700_000_000
+    for fi in range(N_FILES):
+        rs = rows[fi]
+        tbl = pa.table(
+            {
+                "lsn": pa.array([r[0] for r in rs], pa.int64()),
+                "ts_ms": pa.array([r[1] for r in rs], pa.int64()),
+                "op": pa.array([r[2] for r in rs], pa.string()),
+                "event_type": pa.array([r[3] for r in rs], pa.string()),
+                "repo": pa.array([r[4] for r in rs], pa.string()),
+                "path": pa.array([r[5] for r in rs], pa.string()),
+                "payload": pa.array([r[6] for r in rs], pa.string()),
+            }
+        )
+        fp = os.path.join(log_dir, f"chunk-{fi:05d}.parquet")
+        pq.write_table(tbl, fp)
+        os.utime(fp, (t0 + fi, t0 + fi))
+
+    table = LakeTable.create(
+        spark, os.path.join(work, "lake"), REPOS_SCHEMA, REPOS_KEY_FIELDS,
+        "lsn", bucket_count=8,
+    )
+    CdcPipeline(
+        spark, table, log_dir, os.path.join(work, "cp"),
+        max_files_per_trigger=1,
+    ).run_streaming()
+    feed = NovelContentFeed(
+        spark, table, os.path.join(work, "feed"), bucket_count=8
+    )
+    feed.run()
+    return feed.sink.read().select("content_sha", "repo", "path", "lsn")
+
+
+O_NOVEL_CONTENT_FEED = """
+WITH ch AS (
+  SELECT DISTINCT event_id AS e FROM events WHERE event_id < 2000
+), ev AS (
+  SELECT e, 'r' || CAST(e % 7 AS VARCHAR) AS repo,
+         'p' || CAST(e AS VARCHAR) AS path,
+         e AS lsn, e % 4 AS batch,
+         'c-' || CAST(e % 37 AS VARCHAR) AS content
+  FROM ch
+), firsts AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY content ORDER BY batch, lsn) AS rn
+  FROM ev
+)
+SELECT sha256(content) AS content_sha, repo, path, lsn
+FROM firsts WHERE rn = 1
+"""
+
+
 def q_incremental_near_dup(spark, sf):
     """Incremental NEAR-dup dedup through the lake-backed NearDupIndex:
     the doc_id < 300 corpus (the same naturally near-dup-dense slice
@@ -2370,6 +2477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
     "incremental_near_dup": q_incremental_near_dup,
+    "novel_content_feed": q_novel_content_feed,
 }
 
 ORACLES: dict[str, str] = {
@@ -2436,4 +2544,5 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": O_SEMANTIC_DEDUP,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "incremental_near_dup": O_INCREMENTAL_NEAR_DUP,
+    "novel_content_feed": O_NOVEL_CONTENT_FEED,
 }
