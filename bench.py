@@ -70,6 +70,8 @@ HEADLINE = [
     "doc_chunks",
     "corpus_shuffle",
     "stratified_sample",
+    "incremental_dedup",
+    "incremental_near_dup",
     "minhash_lsh_pairs",
     "minhash_near_dup",
     "simhash_pairs",
