@@ -119,12 +119,13 @@ def test_idempotent_rerun_is_noop(spark, tmp_path):
 
 
 def test_chained_rename_flood_guard(spark, tmp_path, monkeypatch):
-    """Adversarial chained-rename flood: the resolver collects narrow
-    provenance rows to the driver, bounded by MAX_CHAIN_PROVENANCE_ROWS
-    — above the bound it must FAIL LOUDLY (with the evidence) instead
-    of silently serializing millions of rows on the driver (VERDICT r3
-    "What's wrong" #4). Below the bound the same batch must resolve the
-    chain exactly."""
+    """Adversarial chained-rename flood: the distributed resolver
+    groups candidate provenance per chain component, bounded by
+    MAX_CHAIN_PROVENANCE_ROWS — above the bound the task must FAIL
+    LOUDLY (with the evidence) instead of silently building a giant
+    pandas frame (VERDICT r3 "What's wrong" #4). The failure surfaces
+    inside the merge action, so the batch is NOT committed. Below the
+    bound the same batch must resolve the chain exactly."""
     import json
 
     import ton_etl_spark.cdc.pipeline as pl
@@ -147,9 +148,10 @@ def test_chained_rename_flood_guard(spark, tmp_path, monkeypatch):
     ev = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(log_dir)
 
     # 1 upsert candidate row > bound of 0 -> loud failure, nothing applied
+    # (raised inside the resolver task -> surfaces wrapped by Spark)
     monkeypatch.setattr(pl, "MAX_CHAIN_PROVENANCE_ROWS", 0)
     flood_table = build_table(spark, str(tmp_path / "lake_flood"), buckets=4)
-    with pytest.raises(RuntimeError, match="chained-rename"):
+    with pytest.raises(Exception, match="chained-rename"):
         pl.apply_batch(spark, flood_table, ev, batch_id=0)
     assert flood_table.manifest()["batch_id"] == -1  # batch NOT committed
 
