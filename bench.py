@@ -63,6 +63,8 @@ HEADLINE = [
     "text_analyze",
     "curation_pipeline",
     "repetition_metrics",
+    "lm_quality",
+    "domain_nb",
     "sequence_packing",
     "decontamination",
     "near_dup_pipeline",

@@ -1937,6 +1937,157 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_lm_quality(spark, sf):
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020),
+    quantized to whole-bit Shannon cost so the score is integer-exact
+    and identical at any parallelism: train a word-bigram model on the
+    doc_id%10<3 reference slice, charge every document
+    bitlen(V)-bitlen(cnt) bits per seen bigram (bitlen(V)+1 for OOV),
+    report total and avg bits/gram (low = reference-like = keep).
+    One explode+groupBy to train, one gram join + one doc groupBy to
+    score — zero Python, zero floating point before the final
+    display division. See operators/lm.py."""
+    from .operators.lm import lm_bitcost, train_ngram_lm
+
+    docs = _t(spark, sf, "documents")
+    model = train_ngram_lm(
+        docs.filter(F.col("doc_id") % 10 < 3), "doc_id", "text", n=2
+    )
+    return lm_bitcost(docs, "doc_id", "text", model, n=2)
+
+
+O_LM_QUALITY = r"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1]
+                 for i in generate_series(1, len(toks)-1)]) AS gram
+  FROM tok
+), model AS (
+  SELECT gram, count(*) AS cnt FROM grams
+  WHERE doc_id % 10 < 3 GROUP BY gram
+), tot AS (
+  SELECT length(printf('%b', CAST(sum(cnt) AS BIGINT))) AS vbits
+  FROM model
+), cost AS (
+  SELECT g.doc_id,
+         coalesce(t.vbits - length(printf('%b', CAST(m.cnt AS BIGINT))),
+                  t.vbits + 1) AS bits
+  FROM grams g LEFT JOIN model m USING (gram) CROSS JOIN tot t
+), agg AS (
+  SELECT doc_id, count(*) AS n_grams, sum(bits) AS total_bits
+  FROM cost GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(a.total_bits, 0) AS BIGINT) AS total_bits,
+       round(CAST(coalesce(a.total_bits, 0) AS BIGINT)
+             / greatest(CAST(coalesce(a.n_grams, 0) AS BIGINT), 1),
+             6) AS avg_bits
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# Planted domains for the NB classification demo — the pii_report
+# precedent: the synthetic corpus's lang/source labels are independent
+# of the text (verified: even an exact-float NB scores ~chance on
+# lang), so each engine plants an IDENTICAL deterministic domain
+# marker and the comparison exercises the real subject — NB recovery
+# of a content signal through the quantized bit-cost machinery.
+# doc_id % 7 == 0 rows get NO marker (hard cases: soup-noise argmin).
+_NB_MARKERS = [
+    "aqua marine aqua marine",
+    "terra firma terra firma",
+    "ignis flame ignis flame",
+]
+
+
+def q_domain_nb(spark, sf):
+    """Domain classification as quantized multinomial Naive Bayes (the
+    CCNet/fastText filtering step): per-domain word-unigram bit-cost
+    models trained on the doc_id%10<5 half, every held-out document
+    scored under EVERY domain, argmin-bits wins (ties -> smallest
+    domain). Output is the confusion matrix (actual domain, predicted,
+    n_docs). Integer-only scoring — deterministic at any cluster
+    size. See operators/lm.py and _NB_MARKERS above."""
+    from .operators.lm import nb_classify, train_nb
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 3).cast("string"))
+        .alias("domain"),
+        F.when(F.col("doc_id") % 7 == 0, F.col("text")).otherwise(
+            F.concat(
+                F.col("text"), F.lit(" "),
+                F.element_at(
+                    F.array(*[F.lit(m) for m in _NB_MARKERS]),
+                    (F.col("doc_id") % 3 + 1).cast("int"),
+                ),
+            )
+        ).alias("text"),
+    )
+    model = train_nb(
+        docs.filter(F.col("doc_id") % 10 < 5), "doc_id", "text", "domain",
+        n=1,
+    )
+    pred = nb_classify(
+        docs.filter(F.col("doc_id") % 10 >= 5), "doc_id", "text",
+        model, "domain", n=1,
+    )
+    return (
+        pred.join(docs.select("doc_id", "domain"), on="doc_id")
+        .groupBy("domain", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+O_DOMAIN_NB = r"""
+WITH labeled AS (
+  SELECT doc_id, 'd' || CAST(doc_id % 3 AS VARCHAR) AS domain,
+         CASE WHEN doc_id % 7 = 0 THEN text
+              ELSE text || ' ' || (['aqua marine aqua marine',
+                                    'terra firma terra firma',
+                                    'ignis flame ignis flame'])[doc_id % 3 + 1]
+         END AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id, domain,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS gram
+  FROM labeled
+), model AS (
+  SELECT domain AS cls, gram, count(*) AS cnt FROM tok
+  WHERE doc_id % 10 < 5 GROUP BY 1, 2
+), tot AS (
+  SELECT cls, length(printf('%b', CAST(sum(cnt) AS BIGINT))) AS vbits
+  FROM model GROUP BY cls
+), cost AS (
+  SELECT m.cls, m.gram,
+         t.vbits - length(printf('%b', CAST(m.cnt AS BIGINT))) AS bits
+  FROM model m JOIN tot t USING (cls)
+), scored AS (
+  SELECT te.doc_id, c.cls,
+         sum(coalesce(co.bits, t.vbits + 1)) AS total_bits
+  FROM (SELECT * FROM tok WHERE doc_id % 10 >= 5) te
+  CROSS JOIN (SELECT DISTINCT cls FROM model) c
+  JOIN tot t ON t.cls = c.cls
+  LEFT JOIN cost co ON co.cls = c.cls AND co.gram = te.gram
+  GROUP BY te.doc_id, c.cls
+), pred AS (
+  SELECT doc_id, cls AS predicted,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY total_bits, cls) AS rn
+  FROM scored
+)
+SELECT l.domain, p.predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred p JOIN labeled l USING (doc_id)
+WHERE p.rn = 1
+GROUP BY 1, 2
+"""
+
+
 # deterministic PII injection shared by the Spark query and the oracle:
 # the corpus itself is synthetic word soup with no PII, so each engine
 # plants identical spans and the comparison exercises the real subject —
@@ -2469,6 +2620,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "salient_terms": q_salient_terms,
     "length_histogram": q_length_histogram,
+    "lm_quality": q_lm_quality,
+    "domain_nb": q_domain_nb,
     "pii_report": q_pii_report,
     "span_dedup": q_span_dedup,
     "weighted_sample": q_weighted_sample,
@@ -2536,6 +2689,8 @@ ORACLES: dict[str, str] = {
     "vocab_topk": O_VOCAB_TOPK,
     "salient_terms": O_SALIENT_TERMS,
     "length_histogram": O_LENGTH_HISTOGRAM,
+    "lm_quality": O_LM_QUALITY,
+    "domain_nb": O_DOMAIN_NB,
     "pii_report": _o_pii_report(),
     "span_dedup": O_SPAN_DEDUP,
     "weighted_sample": O_WEIGHTED_SAMPLE,
