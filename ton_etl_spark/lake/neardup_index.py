@@ -69,6 +69,7 @@ from __future__ import annotations
 
 import json
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F, types as T
 
 open_ = open  # the classmethod below shadows the builtin
@@ -114,6 +115,9 @@ class NearDupIndex:
         self.n_perm = n_perm
         self.bands = bands
         self.k = k
+        # previous batch's persisted novel-id set (see filter_novel);
+        # retired at the next call so at most one batch's ids are cached
+        self._novel_cache: DataFrame | None = None
 
     @classmethod
     def create(cls, spark, root: str, bucket_count: int = 16,
@@ -194,7 +198,16 @@ class NearDupIndex:
             )
 
         df = df.dropDuplicates([id_col])
-        sig = minhash_signatures(df, id_col, text_col, self.n_perm, self.k)
+        # The signature table feeds three consumers (band rows for the
+        # candidate joins, band rows again for the kept-bands merge,
+        # and the docs-table signature column); both merges and the
+        # returned `novel` run as separate actions, so without a
+        # persist the whole shingle+minhash lineage re-executes per
+        # consumer. The cached set is the DELTA's (id, 16 longs) —
+        # batch-sized by construction, spills to disk if not.
+        sig = minhash_signatures(
+            df, id_col, text_col, self.n_perm, self.k
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         new_bands = band_rows(sig, id_col, self.n_perm, self.bands)
 
         # ---- candidates (ids only) ----
@@ -300,12 +313,23 @@ class NearDupIndex:
             .unionByName(within_hits.select(F.col("_new_id").alias("_did")))
             .distinct()
         )
+        # The novel-id set also feeds three consumers (both merges and
+        # the returned rows) — persist the ids ONLY (never the text),
+        # retire the previous batch's cache so at most one delta's ids
+        # are ever held.
+        novel_ids = (
+            df.select(F.col(id_col).alias("doc_id"))
+            .join(dropped, F.col("doc_id") == dropped["_did"], "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if self._novel_cache is not None:
+            self._novel_cache.unpersist()
+        self._novel_cache = novel_ids
         novel = df.join(
-            dropped, df[id_col] == dropped["_did"], "left_anti"
+            novel_ids, df[id_col] == novel_ids["doc_id"], "left_semi"
         )
 
         # ---- commit: bands first, docs last (replay authority) ----
-        novel_ids = novel.select(F.col(id_col).alias("doc_id"))
         kept_bands = (
             new_bands.select(F.col(id_col).alias("doc_id"), "band", "band_hash")
             .join(novel_ids, on="doc_id", how="left_semi")
@@ -337,4 +361,6 @@ class NearDupIndex:
         )
         merge_into(self.docs_table, doc_updates, batch_id=batch_id,
                    pre_deduped=True)
+        # both merges have executed; nothing downstream reads sig
+        sig.unpersist()
         return novel
