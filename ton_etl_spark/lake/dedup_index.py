@@ -28,6 +28,7 @@ deterministic under at-least-once redelivery.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from .merge import merge_into
@@ -57,6 +58,9 @@ class DedupIndex:
 
     def __init__(self, table: LakeTable):
         self.table = table
+        # previous batch's persisted novel-key set (see filter_novel);
+        # retired at the next call so at most one delta's keys are cached
+        self._novel_cache: DataFrame | None = None
 
     @classmethod
     def create(cls, spark, root: str, bucket_count: int = 16) -> "DedupIndex":
@@ -124,12 +128,20 @@ class DedupIndex:
         # pin to the pre-merge version: `novel` is evaluated lazily by
         # the caller, after the merge below bumps the table
         existing = self.table.read(version=m["version"]).select("content_sha")
-        novel = cand.join(
-            existing,
-            cand["_sha"] == existing["content_sha"],
-            "left_anti",
+        # The novel-key set feeds two actions (the merge below and the
+        # caller's use of the returned rows) — persist the (sha, id)
+        # pairs ONLY, never the content, so the window + index
+        # anti-join run once per delta instead of per consumer.
+        novel_keys = (
+            cand.select("_sha", F.col(id_col))
+            .join(existing, F.col("_sha") == existing["content_sha"],
+                  "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        updates = novel.select(
+        if self._novel_cache is not None:
+            self._novel_cache.unpersist()
+        self._novel_cache = novel_keys
+        updates = novel_keys.select(
             F.col("_sha").alias("content_sha"),
             F.col(id_col).cast("long").alias("first_id"),
             F.lit(batch_id).cast("long").alias("first_batch"),
@@ -137,4 +149,11 @@ class DedupIndex:
             F.lit("c").alias("op"),
         )
         merge_into(self.table, updates, batch_id=batch_id, pre_deduped=True)
-        return novel.drop("_sha")
+        # re-derive the rows from df by (id, sha) so the cache holds
+        # keys only; the pair join keeps semantics exact even for
+        # pathological inputs with duplicate ids
+        return (
+            df.withColumn("_sha", sha)
+            .join(novel_keys, on=[id_col, "_sha"], how="left_semi")
+            .drop("_sha")
+        )
