@@ -47,11 +47,20 @@ from .text import word_ngrams, ws_tokens
 
 def _grams(df: DataFrame, id_col: str, text_col: str, n: int,
            *extra_cols: str) -> DataFrame:
-    """(id, *extra, gram) — one row per n-gram occurrence."""
-    toks = ws_tokens(F.lower(F.col(text_col)))
-    return df.select(
+    """(id, *extra, gram) — one row per n-gram occurrence.
+
+    STAGED like text.repetition_metrics: the token array is aliased in
+    its own projection so it materializes once per row. Inlining it
+    would re-run the regex split inside every element_at of the
+    word_ngrams lambda (HOFs evaluate interpreted) — measured ~8x on
+    the bigram explode at sf0.1."""
+    staged = df.select(
         F.col(id_col), *[F.col(c) for c in extra_cols],
-        F.explode(word_ngrams(toks, n)).alias("gram"),
+        ws_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    return staged.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.explode(word_ngrams(F.col("_toks"), n)).alias("gram"),
     )
 
 
