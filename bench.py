@@ -65,6 +65,7 @@ HEADLINE = [
     "repetition_metrics",
     "lm_quality",
     "domain_nb",
+    "interval_rollup",
     "sequence_packing",
     "decontamination",
     "near_dup_pipeline",

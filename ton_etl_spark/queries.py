@@ -2088,6 +2088,52 @@ GROUP BY 1, 2
 """
 
 
+def q_interval_rollup(spark, sf):
+    """Interval (range) containment join via operators/rangejoin.py:
+    40 deterministic overlapping maintenance windows (4h stride,
+    3-7h length over the event month) joined to every event whose
+    timestamp falls in [start, end) — bucketized to an EQUI-join on
+    1h time buckets + exact filter, never a nested-loop — then a
+    per-window rollup. Events under overlapping windows count toward
+    each (containment, not as-of). Fixed-point cent sums for
+    cross-engine determinism."""
+    from .operators.rangejoin import interval_join
+
+    epoch0 = 1704067200  # 2024-01-01 UTC, the event month's origin
+    wins = spark.range(40).select(
+        F.col("id").alias("win_id"),
+        (F.lit(epoch0) + F.col("id") * 14400).alias("start_es"),
+        (F.lit(epoch0) + F.col("id") * 14400
+         + (F.lit(3) + F.col("id") % 5) * 3600).alias("end_es"),
+    )
+    ev = _t(spark, sf, "events").select("event_id", "ts", "value")
+    j = interval_join(ev, wins, "ts", "start_es", "end_es", bucket_s=3600)
+    return j.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+        ).alias("sum_value"),
+    )
+
+
+O_INTERVAL_ROLLUP = """
+WITH wins AS (
+  SELECT i AS win_id,
+         1704067200 + i*14400 AS s_es,
+         1704067200 + i*14400 + (3 + i%5)*3600 AS e_es
+  FROM range(40) t(i)
+), j AS (
+  SELECT w.win_id, e.value
+  FROM events e JOIN wins w
+    ON epoch(e.ts) >= w.s_es AND epoch(e.ts) < w.e_es
+)
+SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             / 100, 2) AS sum_value
+FROM j GROUP BY win_id
+"""
+
+
 # deterministic PII injection shared by the Spark query and the oracle:
 # the corpus itself is synthetic word soup with no PII, so each engine
 # plants identical spans and the comparison exercises the real subject —
@@ -2622,6 +2668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_histogram": q_length_histogram,
     "lm_quality": q_lm_quality,
     "domain_nb": q_domain_nb,
+    "interval_rollup": q_interval_rollup,
     "pii_report": q_pii_report,
     "span_dedup": q_span_dedup,
     "weighted_sample": q_weighted_sample,
@@ -2691,6 +2738,7 @@ ORACLES: dict[str, str] = {
     "length_histogram": O_LENGTH_HISTOGRAM,
     "lm_quality": O_LM_QUALITY,
     "domain_nb": O_DOMAIN_NB,
+    "interval_rollup": O_INTERVAL_ROLLUP,
     "pii_report": _o_pii_report(),
     "span_dedup": O_SPAN_DEDUP,
     "weighted_sample": O_WEIGHTED_SAMPLE,
