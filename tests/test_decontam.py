@@ -93,3 +93,48 @@ def test_hash_shingles_path_agrees(spark):
         for r in decontaminate(df, ngram=5, hash_shingles=True).collect()
     )
     assert exact == hashed
+
+def test_bloom_prefilter_path_agrees(spark):
+    df = _docs(spark, CORPUS)
+    exact = sorted(tuple(r) for r in decontaminate(df, ngram=5).collect())
+    bloomed = sorted(
+        tuple(r)
+        for r in decontaminate(df, ngram=5, bloom_prefilter=True).collect()
+    )
+    assert exact == bloomed
+
+
+def test_bloom_unit():
+    # pure bit-set semantics, no Spark needed for the bound check
+    import warnings
+
+    from ton_etl_spark.operators.bloom import build_bloom
+
+    class _FakeKeys:  # over-the-bound path never runs a job after count
+        def count(self):
+            return 1 << 40
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert build_bloom(_FakeKeys(), "k") is None
+        assert any("skipping the prefilter" in str(x.message) for x in w)
+
+
+def test_bloom_membership(spark):
+    from pyspark.sql import functions as F
+
+    from ton_etl_spark.operators.bloom import build_bloom
+
+    keys = spark.range(1000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    bf = build_bloom(keys, "k")
+    # zero false negatives: every inserted key probes true
+    n_in = keys.filter(bf.contains(F.col("k"))).count()
+    assert n_in == 1000
+    # false-positive rate on disjoint probes stays near the estimate
+    probes = spark.range(20000).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("k")
+    )
+    fp = probes.filter(bf.contains(F.col("k"))).count()
+    assert fp / 20000 <= max(0.03, 3 * bf.fpp_estimate)

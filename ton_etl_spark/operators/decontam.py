@@ -17,10 +17,14 @@ Scale design (100 TB):
     100 TB path (engine-specific hash, so the DuckDB oracle runs the
     exact-string variant; a hash collision can only ADD a false hit
     at ~2^-64 per pair).
-  * at extreme scale a bloom filter built over train shingles and
-    broadcast would pre-filter the eval side before the shuffle;
-    not implemented here — the join IS the semantics, the bloom is
-    a bandwidth optimization.
+  * `bloom_prefilter=True` builds a deterministic Bloom filter over
+    the train shingles (operators/bloom.py) and drops eval shingles
+    that are definitely not in train BEFORE they enter the shuffle —
+    the extreme-scale path when the eval side is also huge. Bloom
+    filters never false-negative, so the output is byte-identical to
+    the plain join (the exact join still verifies every survivor);
+    the filter is a bounded plan constant, never a silent cap
+    (build_bloom warns and skips above its bit bound).
 
 Split assignment reuses operators.sampling.hash_split, so the exact
 split the curation pipeline trains on is the one checked for leakage.
@@ -42,6 +46,8 @@ def decontaminate(
     ngram: int = 5,
     threshold: float = 0.3,
     hash_shingles: bool = False,
+    bloom_prefilter: bool = False,
+    bloom_bits_per_key: int = 10,
 ) -> DataFrame:
     """Per NON-train document: doc_id, split, n_shingles (distinct),
     n_hit (of those, how many occur in any train doc), contam_frac
@@ -82,11 +88,23 @@ def decontaminate(
     ev = sh.filter(F.col(split_col) != train_split).select(
         id_col, split_col, F.size("_sh").cast("long").alias("n_shingles"), "_sh"
     )
-    hits = (
+    ev_pairs = (
         ev.select(id_col, F.explode_outer("_sh").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
         .select(id_col, key.alias("k"))
-        .join(train_keys, "k", "left_semi")
+    )
+    if bloom_prefilter:
+        from .bloom import build_bloom
+
+        # the train side is distinct'ed and (in the steady decontam
+        # case) far smaller than the eval shingle stream: spend one
+        # bounded bit-array build to keep definite non-members out of
+        # the shuffle. None (over the bit bound) = plain-join fallback.
+        bf = build_bloom(train_keys, "k", bits_per_key=bloom_bits_per_key)
+        if bf is not None:
+            ev_pairs = ev_pairs.filter(bf.contains(F.col("k")))
+    hits = (
+        ev_pairs.join(train_keys, "k", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
