@@ -81,6 +81,8 @@ HEADLINE = [
     "cosine_topk",
     "embedding_near_dup_lsh",
     "ivf_ann_topk",
+    "global_cumsum",
+    "token_budget_mix",
 ]
 
 

@@ -1,0 +1,178 @@
+"""Scalable prefix sums (cumulative aggregates) without the
+single-partition window trap.
+
+`SUM(v) OVER (ORDER BY k)` — the global running total — is the one
+window shape Spark executes on ONE task: no PARTITION BY means
+`Exchange SinglePartition`, so a 100 TB cumsum funnels through a
+single executor core. Same trap per key when PARTITION BY has low
+cardinality (a handful of domains): each domain is one task.
+
+This module computes the identical result in three scalable steps —
+the classic distributed prefix-sum decomposition:
+
+  1. bucket each row by WHERE ITS ORDER KEY FALLS among B quantile cut
+     points (a pure codegen'd expression of the row's value — NOT of
+     the physical partitioning, so the result is partition-count- and
+     cluster-size-independent by construction);
+  2. one tiny aggregation: per (partition key, bucket) totals
+     (B × |keys| rows, map-side combined), exclusive-prefixed on the
+     driver into per-bucket offsets;
+  3. a window WITHIN each (partition key, bucket) — max task size
+     ~ |key| / B rows — plus the broadcast offset.
+
+Semantics match the SQL default frame exactly: RANGE BETWEEN
+UNBOUNDED PRECEDING AND CURRENT ROW, i.e. ties on the order key share
+one cumulative value (both Spark and DuckDB default to RANGE when an
+ORDER BY is present). Equal order keys always land in the same bucket
+(cut comparison is `<=`), so tie groups never straddle a boundary.
+
+Exactness contract: with an INTEGRAL value column the result is
+bit-identical at any parallelism (long addition is associative); for
+doubles quantize to fixed-point first (the repo-wide rule — see
+operators/sessions.py). Cut points come from approxQuantile and only
+steer load balance, never the answer.
+
+Reference parity note: the reference has no cumulative operator — this
+backs the training-data curation path (token-budget mixes over quality
+ranks), where per-source running token totals over ~10^10 documents
+are exactly the low-cardinality-key case the naive window cannot run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+# Bound on the driver-side (key × bucket) totals collect. Loud failure,
+# never a silent cap (repo rule: no silent driver blowups) — above this
+# the partition keys are high-cardinality enough that the PLAIN
+# per-key window is already scalable and should be used instead.
+MAX_OFFSET_ROWS = 100_000
+
+
+def order_cuts(df: DataFrame, order_col: str, buckets: int) -> list[float]:
+    """B-quantile cut points of a NUMERIC order column (one extra scan;
+    at query-of-record scale reuse cached table statistics instead).
+    Deduplicated: heavy ties collapse buckets rather than split them."""
+    if buckets < 2:
+        return []
+    qs = [i / buckets for i in range(1, buckets)]
+    cuts = df.stat.approxQuantile(order_col, qs, 0.001)
+    return sorted(set(cuts))
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    partition_cols: list[str] | None = None,
+    descending: bool = False,
+    buckets: int = 64,
+    cuts: list[float] | None = None,
+) -> DataFrame:
+    """df + `out_col` = SUM(value_col) OVER (PARTITION BY partition_cols
+    ORDER BY order_col [DESC]) with the default RANGE frame — computed
+    without any single-partition (or single-task-per-key) exchange.
+
+    `order_col` must be numeric and non-null; `value_col` should be
+    integral for cross-engine/cross-parallelism exactness (see module
+    docstring)."""
+    pcols = list(partition_cols or [])
+    if cuts is None:
+        cuts = order_cuts(df, order_col, buckets)
+    oc = F.col(order_col).cast("double")
+    if cuts:
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        # bucket = #cuts <= key: equal keys always share a bucket, so a
+        # RANGE-frame tie group can never straddle a bucket boundary
+        qb = F.size(F.filter(arr, lambda c: c <= oc))
+    else:
+        qb = F.lit(0)
+    b = df.withColumn("_qb", qb.cast("int"))
+
+    totals = (
+        b.groupBy(*pcols, "_qb")
+        .agg(F.sum(value_col).alias("_t"), F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if len(totals) > MAX_OFFSET_ROWS:
+        raise RuntimeError(
+            f"bucketed_cumsum: {len(totals)} (key, bucket) groups exceed "
+            f"the driver offset bound {MAX_OFFSET_ROWS}; the partition "
+            "keys are high-cardinality — use a plain per-key window"
+        )
+    # Exclusive prefix per partition key, walking buckets in cumsum
+    # direction (ascending order key -> ascending bucket, and vice
+    # versa). O(keys x buckets) driver work on a bounded list.
+    by_key: dict[tuple, list] = {}
+    for r in totals:
+        by_key.setdefault(tuple(r[c] for c in pcols), []).append(r)
+    offset_rows = []
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r["_qb"], reverse=descending)
+        run = 0
+        for r in rows:
+            offset_rows.append((*key, r["_qb"], run))
+            run += r["_t"] or 0
+    spark = df.sparkSession
+    off_schema = b.select(*pcols, "_qb").schema.add("_off", "long")
+    off = spark.createDataFrame(offset_rows, off_schema)
+
+    w = W.partitionBy(*pcols, "_qb").orderBy(
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    )
+    # default frame with orderBy = RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    local = F.sum(value_col).over(w)
+    return (
+        b.join(F.broadcast(off), [*pcols, "_qb"], "left")
+        .withColumn(out_col, local + F.coalesce(F.col("_off"), F.lit(0)))
+        .drop("_qb", "_off")
+    )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    budget,
+    buckets: int = 32,
+) -> DataFrame:
+    """Quality-greedy token-budget selection — the data-recipe builder:
+    per domain, rank documents by quality score (descending) and keep
+    them until the domain's token budget is filled (a document is kept
+    iff the running token total THROUGH it fits the budget).
+
+    `budget` is a single int or a {domain: int} dict; domains absent
+    from the dict get 0 (keep nothing). Quality ties share one running
+    total (RANGE semantics), so a tie group is kept or cut atomically —
+    deterministic at any parallelism, no arbitrary intra-tie order.
+
+    -> (id, domain, quality, n_tokens, cum_tokens), exactly the rows
+    that fit. Scale shape: one quantile scan + one tiny agg + one
+    window whose tasks are ~ domain/|buckets| sized — no per-domain
+    single task (see module docstring).
+    """
+    from .text import quality_score, token_count
+
+    m = docs.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.round(quality_score(F.col(text_col)), 6).alias("quality"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    cum = bucketed_cumsum(
+        m, "quality", "n_tokens", "cum_tokens",
+        partition_cols=[domain_col], descending=True, buckets=buckets,
+    )
+    if isinstance(budget, dict):
+        pairs = [x for d, v in sorted(budget.items()) for x in (F.lit(d), F.lit(int(v)))]
+        limit = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(domain_col)), F.lit(0)
+        )
+    else:
+        limit = F.lit(int(budget))
+    # re-select: the offset equi-join moved the join keys (domain) first
+    return cum.filter(F.col("cum_tokens") <= limit).select(
+        id_col, domain_col, "quality", "n_tokens", "cum_tokens"
+    )

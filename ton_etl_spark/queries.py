@@ -2604,6 +2604,86 @@ WHERE rn = 1 AND sha NOT IN (SELECT sha FROM b1)
 """
 
 
+def q_global_cumsum(spark, sf):
+    """Global running total over ALL events — the window shape Spark
+    executes on one task (`SUM OVER (ORDER BY ...)` with no PARTITION
+    BY = Exchange SinglePartition). Computed via the distributed
+    prefix-sum decomposition in operators/prefix.py instead: quantile
+    buckets + per-bucket offsets + within-bucket windows, no
+    single-partition exchange anywhere (plan-shape asserted in
+    tests/test_prefix.py). Fixed-point micro-units keep the sum
+    bit-identical at any parallelism."""
+    from .operators.prefix import bucketed_cumsum
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("_v6"),
+    )
+    out = bucketed_cumsum(ev, "event_id", "_v6", "_run6", buckets=32)
+    return out.select(
+        "event_id",
+        F.round(F.col("_run6") / 1000000.0, 6).alias("running_value"),
+    )
+
+
+O_GLOBAL_CUMSUM = """
+SELECT event_id,
+       -- CAST: DuckDB widens the BIGINT window SUM to HUGEINT
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                  OVER (ORDER BY event_id) AS BIGINT)
+             / 1000000.0, 6) AS running_value
+FROM events
+"""
+
+
+def q_token_budget_mix(spark, sf):
+    """Data-recipe builder: per source domain, keep the highest-quality
+    documents until an 800-token budget is filled (running token total
+    THROUGH the doc must fit). Per-domain running totals over a
+    low-cardinality key are exactly the one-task-per-key window trap;
+    operators/prefix.py splits each domain across quality-quantile
+    buckets so task size is ~domain/16 (see its module docstring)."""
+    from .operators.prefix import token_budget_mix
+
+    docs = _t(spark, sf, "documents")
+    return token_budget_mix(
+        docs, "doc_id", "text", "source", 800, buckets=16
+    )
+
+
+O_TOKEN_BUDGET_MIX = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         regexp_split_to_array(trim(text), '\\s+') AS wtoks
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+    len(wtoks) AS n_tokens,
+    (length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))
+          / greatest(length(text), 1) AS raw_punct,
+    len(list_filter(toks, x -> x IN ({_SW})))
+          / greatest(len(toks), 1) AS raw_sw
+  FROM t
+), q AS (
+  SELECT doc_id, source, n_tokens,
+    round(0.5 * least(n_tokens / 100.0, 1.0)
+          + 0.3 * least(raw_sw * 5, 1.0)
+          + 0.2 * (1 - least(raw_punct * 4, 1.0)), 6) AS quality
+  FROM m
+), c AS (
+  SELECT doc_id, source, quality, n_tokens,
+    -- CAST: DuckDB widens the window SUM to HUGEINT; RANGE default
+    -- frame on both engines, so quality ties share one running total
+    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC)
+         AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, source, quality, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 800
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -2678,9 +2758,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "incremental_near_dup": q_incremental_near_dup,
     "novel_content_feed": q_novel_content_feed,
+    "global_cumsum": q_global_cumsum,
+    "token_budget_mix": q_token_budget_mix,
 }
 
 ORACLES: dict[str, str] = {
+    "global_cumsum": O_GLOBAL_CUMSUM,
+    "token_budget_mix": O_TOKEN_BUDGET_MIX,
     "media_features": O_MEDIA_FEATURES,
     "video_frames": O_VIDEO_FRAMES,
     "curation_pipeline": _o_curation_pipeline(),
