@@ -69,6 +69,7 @@ def bucketed_cumsum(
     descending: bool = False,
     buckets: int = 64,
     cuts: list[float] | None = None,
+    persist_input: bool = False,
 ) -> DataFrame:
     """df + `out_col` = SUM(value_col) OVER (PARTITION BY partition_cols
     ORDER BY order_col [DESC]) with the default RANGE frame — computed
@@ -76,8 +77,18 @@ def bucketed_cumsum(
 
     `order_col` must be numeric and non-null; `value_col` should be
     integral for cross-engine/cross-parallelism exactness (see module
-    docstring)."""
+    docstring).
+
+    `persist_input=True` caches `df` across the operator's three
+    actions (quantile cuts, offset totals, the result's own jobs) —
+    essential when the input columns are expensive per-row derivations
+    (regex token counts, quality scores): without it every pass re-runs
+    the derivation from the scan. The cached frame should be NARROW
+    (ids + the order/value columns only); eviction is LRU via Spark's
+    ContextCleaner once the result goes out of scope."""
     pcols = list(partition_cols or [])
+    if persist_input:
+        df = df.persist()
     if cuts is None:
         cuts = order_cuts(df, order_col, buckets)
     oc = F.col(order_col).cast("double")
@@ -164,6 +175,9 @@ def token_budget_mix(
     cum = bucketed_cumsum(
         m, "quality", "n_tokens", "cum_tokens",
         partition_cols=[domain_col], descending=True, buckets=buckets,
+        # m is 4 narrow columns but costs a regex tokenization pipeline
+        # per row — compute it once, not once per cumsum action
+        persist_input=True,
     )
     if isinstance(budget, dict):
         pairs = [x for d, v in sorted(budget.items()) for x in (F.lit(d), F.lit(int(v)))]
