@@ -83,6 +83,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "global_cumsum",
     "token_budget_mix",
+    "cumulative_volume",
 ]
 
 

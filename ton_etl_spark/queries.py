@@ -2684,6 +2684,81 @@ FROM c WHERE cum_tokens <= 800
 """
 
 
+def q_cumulative_users(spark, sf):
+    """Cumulative unique users by first-seen day — the growth metric
+    usually written `COUNT(DISTINCT user) OVER (ORDER BY day)`, which
+    is both a distinct-over-window (quadratic in naive engines) and a
+    single-partition global window. Scalable form: per-user min(day)
+    (one shuffle), daily new-user counts (tiny agg), then the
+    distributed prefix sum from operators/prefix.py over the day key —
+    no single-partition exchange (plan-asserted for the operator in
+    tests/test_prefix.py)."""
+    from .operators.prefix import bucketed_cumsum
+
+    ev = _t(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    d = daily.withColumn("_ord", F.unix_date(F.col("day")).cast("long"))
+    out = bucketed_cumsum(d, "_ord", "new_users", "cum_users", buckets=16)
+    return out.select("day", "new_users", "cum_users")
+
+
+O_CUMULATIVE_USERS = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), d AS (
+  SELECT day, count(*) AS new_users FROM f GROUP BY day
+)
+SELECT day, new_users,
+       -- CAST: DuckDB widens the window SUM to HUGEINT
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
+def q_cumulative_volume(spark, sf):
+    """Per-event-type daily running value totals — the per-key variant
+    of the distributed prefix sum (PARTITION BY a low-cardinality
+    event_type ORDER BY day is one task per type in the naive window).
+    Daily pre-aggregation first (tiny), fixed-point micro-units for a
+    parallelism-independent sum, then bucketed_cumsum over the day key
+    within each type."""
+    from .operators.prefix import bucketed_cumsum
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("_v6"),
+    )
+    d = daily.withColumn("_ord", F.unix_date(F.col("day")).cast("long"))
+    out = bucketed_cumsum(
+        d, "_ord", "_v6", "_cum6",
+        partition_cols=["event_type"], buckets=16,
+    )
+    return out.select(
+        "event_type", "day", "n_events",
+        F.round(F.col("_cum6") / 1000000.0, 6).alias("cum_value"),
+    )
+
+
+O_CUMULATIVE_VOLUME = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+         -- CAST: DuckDB widens integer SUMs to HUGEINT
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events,
+       round(CAST(sum(v6) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) / 1000000.0, 6) AS cum_value
+FROM d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -2760,11 +2835,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "novel_content_feed": q_novel_content_feed,
     "global_cumsum": q_global_cumsum,
     "token_budget_mix": q_token_budget_mix,
+    "cumulative_users": q_cumulative_users,
+    "cumulative_volume": q_cumulative_volume,
 }
 
 ORACLES: dict[str, str] = {
     "global_cumsum": O_GLOBAL_CUMSUM,
     "token_budget_mix": O_TOKEN_BUDGET_MIX,
+    "cumulative_users": O_CUMULATIVE_USERS,
+    "cumulative_volume": O_CUMULATIVE_VOLUME,
     "media_features": O_MEDIA_FEATURES,
     "video_frames": O_VIDEO_FRAMES,
     "curation_pipeline": _o_curation_pipeline(),
