@@ -46,6 +46,23 @@ def test_matches_naive_window(spark, pcols, descending):
     )
 
 
+def test_multi_value_columns_one_pass(spark):
+    # parallel value/out lists: each output equals its own naive window
+    df = _data(spark).withColumn("one", F.lit(1).cast("long"))
+    got = bucketed_cumsum(
+        df, "k", ["v", "one"], ["cum_v", "cum_n"],
+        partition_cols=["dom"], buckets=8,
+    )
+    want = _naive(
+        _naive(df, ["dom"], "k", "v", False).withColumnRenamed("cum", "cum_v"),
+        ["dom"], "k", "one", False,
+    ).withColumnRenamed("cum", "cum_n")
+    cols = ["id", "cum_v", "cum_n"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
 def test_partitioning_independent(spark):
     # same rows, different physical layout -> identical cumsum (the
     # bucket is a function of the VALUE, never of the partitioning)

@@ -63,8 +63,8 @@ def order_cuts(df: DataFrame, order_col: str, buckets: int) -> list[float]:
 def bucketed_cumsum(
     df: DataFrame,
     order_col: str,
-    value_col: str,
-    out_col: str,
+    value_col: str | list[str],
+    out_col: str | list[str],
     partition_cols: list[str] | None = None,
     descending: bool = False,
     buckets: int = 64,
@@ -74,6 +74,9 @@ def bucketed_cumsum(
     """df + `out_col` = SUM(value_col) OVER (PARTITION BY partition_cols
     ORDER BY order_col [DESC]) with the default RANGE frame — computed
     without any single-partition (or single-task-per-key) exchange.
+
+    `value_col`/`out_col` may be parallel LISTS to compute several
+    running sums in ONE pass (same cuts, same offset agg, same window).
 
     `order_col` must be numeric and non-null; `value_col` should be
     integral for cross-engine/cross-parallelism exactness (see module
@@ -86,6 +89,10 @@ def bucketed_cumsum(
     the derivation from the scan. The cached frame should be NARROW
     (ids + the order/value columns only); eviction is LRU via Spark's
     ContextCleaner once the result goes out of scope."""
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col must be the same length")
     pcols = list(partition_cols or [])
     if persist_input:
         df = df.persist()
@@ -103,7 +110,7 @@ def bucketed_cumsum(
 
     totals = (
         b.groupBy(*pcols, "_qb")
-        .agg(F.sum(value_col).alias("_t"), F.count(F.lit(1)).alias("_n"))
+        .agg(*[F.sum(v).alias(f"_t{i}") for i, v in enumerate(vcols)])
         .collect()
     )
     if len(totals) > MAX_OFFSET_ROWS:
@@ -121,24 +128,27 @@ def bucketed_cumsum(
     offset_rows = []
     for key, rows in by_key.items():
         rows.sort(key=lambda r: r["_qb"], reverse=descending)
-        run = 0
+        run = [0] * len(vcols)
         for r in rows:
-            offset_rows.append((*key, r["_qb"], run))
-            run += r["_t"] or 0
+            offset_rows.append((*key, r["_qb"], *run))
+            for i in range(len(vcols)):
+                run[i] += r[f"_t{i}"] or 0
     spark = df.sparkSession
-    off_schema = b.select(*pcols, "_qb").schema.add("_off", "long")
+    off_schema = b.select(*pcols, "_qb").schema
+    for i in range(len(vcols)):
+        off_schema = off_schema.add(f"_off{i}", "long")
     off = spark.createDataFrame(offset_rows, off_schema)
 
     w = W.partitionBy(*pcols, "_qb").orderBy(
         F.col(order_col).desc() if descending else F.col(order_col).asc()
     )
     # default frame with orderBy = RANGE UNBOUNDED PRECEDING..CURRENT ROW
-    local = F.sum(value_col).over(w)
-    return (
-        b.join(F.broadcast(off), [*pcols, "_qb"], "left")
-        .withColumn(out_col, local + F.coalesce(F.col("_off"), F.lit(0)))
-        .drop("_qb", "_off")
-    )
+    out = b.join(F.broadcast(off), [*pcols, "_qb"], "left")
+    for i, (v, o) in enumerate(zip(vcols, ocols)):
+        out = out.withColumn(
+            o, F.sum(v).over(w) + F.coalesce(F.col(f"_off{i}"), F.lit(0))
+        )
+    return out.drop("_qb", *[f"_off{i}" for i in range(len(vcols))])
 
 
 def token_budget_mix(

@@ -2735,12 +2735,13 @@ def q_cumulative_volume(spark, sf):
         F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("_v6"),
     )
     d = daily.withColumn("_ord", F.unix_date(F.col("day")).cast("long"))
+    # two running sums in ONE operator pass (shared cuts/offsets/window)
     out = bucketed_cumsum(
-        d, "_ord", "_v6", "_cum6",
+        d, "_ord", ["_v6", "n_events"], ["_cum6", "cum_events"],
         partition_cols=["event_type"], buckets=16,
     )
     return out.select(
-        "event_type", "day", "n_events",
+        "event_type", "day", "n_events", "cum_events",
         F.round(F.col("_cum6") / 1000000.0, 6).alias("cum_value"),
     )
 
@@ -2753,6 +2754,8 @@ WITH d AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, day, n_events,
+       CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day)
+            AS BIGINT) AS cum_events,
        round(CAST(sum(v6) OVER (PARTITION BY event_type ORDER BY day)
                   AS BIGINT) / 1000000.0, 6) AS cum_value
 FROM d
