@@ -102,6 +102,53 @@ def test_offset_bound_fails_loudly(spark, monkeypatch):
         bucketed_cumsum(_data(spark), "k", "v", "cum", buckets=8)
 
 
+def test_null_partition_keys_match_naive(spark):
+    # SQL window PARTITION BY puts NULL keys in one partition; the
+    # offset join must be null-safe or their offsets vanish (r4 ADVICE)
+    rows = [(1, None, 1, 10), (2, None, 2, 20), (3, None, 3, 30),
+            (4, "a", 1, 5), (5, "a", 2, 7), (6, None, 4, 1)]
+    df = spark.createDataFrame(rows, "id long, dom string, k long, v long")
+    got = bucketed_cumsum(
+        df, "k", "v", "cum", partition_cols=["dom"], buckets=3
+    )
+    want = _naive(df, ["dom"], "k", "v", False)
+    cols = ["id", "dom", "k", "v", "cum"]
+    assert sorted(map(tuple, got.select(cols).collect()), key=str) == sorted(
+        map(tuple, want.select(cols).collect()), key=str
+    )
+
+
+def test_null_values_carry_and_null_prefix(spark):
+    # SQL SUM semantics: NULL until the first non-null value, then the
+    # carried total persists across a bucket whose head is all-NULL
+    # (r4 ADVICE: coalescing alone would break the all-null prefix)
+    rows = [(i, i, None if i in (0, 1, 5, 6) else 10) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    # buckets chosen so a bucket starts inside the NULL run at k=5,6
+    got = bucketed_cumsum(df, "k", "v", "cum", cuts=[2.0, 4.5])
+    want = _naive(df, [], "k", "v", False)
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
+    by_id = {r["id"]: r["cum"] for r in got.collect()}
+    assert by_id[0] is None and by_id[1] is None  # all-null prefix
+    assert by_id[5] == by_id[6] == 30             # carry through NULL head
+
+
+def test_persisted_handle_lifecycle(spark):
+    # persist_input + persisted=[] returns the cached handle so a
+    # long-lived session can unpersist once materialized (r4 ADVICE)
+    handles = []
+    out = bucketed_cumsum(
+        _data(spark, n=100), "k", "v", "cum",
+        buckets=4, persist_input=True, persisted=handles,
+    )
+    assert len(handles) == 1 and handles[0].is_cached
+    out.count()
+    handles[0].unpersist()
+    assert not handles[0].is_cached
+
+
 def test_token_budget_dict_and_atomic_ties(spark):
     rows = [
         # domain a: quality ties -> the (d2, d3) tie group must be kept

@@ -70,6 +70,7 @@ def bucketed_cumsum(
     buckets: int = 64,
     cuts: list[float] | None = None,
     persist_input: bool = False,
+    persisted: list | None = None,
 ) -> DataFrame:
     """df + `out_col` = SUM(value_col) OVER (PARTITION BY partition_cols
     ORDER BY order_col [DESC]) with the default RANGE frame — computed
@@ -82,13 +83,25 @@ def bucketed_cumsum(
     integral for cross-engine/cross-parallelism exactness (see module
     docstring).
 
+    NULL handling matches the naive window EXACTLY (r4 ADVICE items
+    closed): partition keys may be NULL (the offset join is null-safe,
+    `<=>`, so SQL's NULL-is-one-partition window semantics hold), and a
+    NULL-valued prefix behaves like SQL SUM — the running total is NULL
+    until the first non-null value, then carries across buckets even
+    when a whole bucket head is NULL (tracked via a running non-null
+    count, not by coalescing sums to 0).
+
     `persist_input=True` caches `df` across the operator's three
     actions (quantile cuts, offset totals, the result's own jobs) —
     essential when the input columns are expensive per-row derivations
     (regex token counts, quality scores): without it every pass re-runs
     the derivation from the scan. The cached frame should be NARROW
-    (ids + the order/value columns only); eviction is LRU via Spark's
-    ContextCleaner once the result goes out of scope."""
+    (ids + the order/value columns only). Lifecycle: pass a list as
+    `persisted` and the cached handle is appended for the caller to
+    `.unpersist()` once the result is materialized; otherwise eviction
+    is LRU via Spark's ContextCleaner when the frame goes out of
+    scope (storage level MEMORY_AND_DISK, so worst case is disk, not
+    OOM)."""
     vcols = [value_col] if isinstance(value_col, str) else list(value_col)
     ocols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(vcols) != len(ocols):
@@ -96,6 +109,8 @@ def bucketed_cumsum(
     pcols = list(partition_cols or [])
     if persist_input:
         df = df.persist()
+        if persisted is not None:
+            persisted.append(df)
     if cuts is None:
         cuts = order_cuts(df, order_col, buckets)
     oc = F.col(order_col).cast("double")
@@ -110,7 +125,14 @@ def bucketed_cumsum(
 
     totals = (
         b.groupBy(*pcols, "_qb")
-        .agg(*[F.sum(v).alias(f"_t{i}") for i, v in enumerate(vcols)])
+        .agg(
+            *[F.sum(v).alias(f"_t{i}") for i, v in enumerate(vcols)],
+            # non-null count per value column: lets the final expression
+            # reproduce SQL SUM's NULL semantics exactly (NULL until the
+            # first non-null, then a carried total) across bucket
+            # boundaries — see NULL handling in the docstring
+            *[F.count(v).alias(f"_n{i}") for i, v in enumerate(vcols)],
+        )
         .collect()
     )
     if len(totals) > MAX_OFFSET_ROWS:
@@ -129,26 +151,58 @@ def bucketed_cumsum(
     for key, rows in by_key.items():
         rows.sort(key=lambda r: r["_qb"], reverse=descending)
         run = [0] * len(vcols)
+        runc = [0] * len(vcols)
         for r in rows:
-            offset_rows.append((*key, r["_qb"], *run))
+            offset_rows.append((*key, r["_qb"], *run, *runc))
             for i in range(len(vcols)):
                 run[i] += r[f"_t{i}"] or 0
+                runc[i] += r[f"_n{i}"]
     spark = df.sparkSession
     off_schema = b.select(*pcols, "_qb").schema
     for i in range(len(vcols)):
         off_schema = off_schema.add(f"_off{i}", "long")
+    for i in range(len(vcols)):
+        off_schema = off_schema.add(f"_offn{i}", "long")
     off = spark.createDataFrame(offset_rows, off_schema)
 
     w = W.partitionBy(*pcols, "_qb").orderBy(
         F.col(order_col).desc() if descending else F.col(order_col).asc()
     )
-    # default frame with orderBy = RANGE UNBOUNDED PRECEDING..CURRENT ROW
-    out = b.join(F.broadcast(off), [*pcols, "_qb"], "left")
+    # Null-safe (<=>) offset join: SQL window PARTITION BY treats NULL as
+    # one partition, and groupBy above groups NULL keys together — a
+    # plain equi-join would silently drop those offsets (r4 ADVICE).
+    # Still a broadcast hash join: <=> is a supported hash-join key.
+    acols = [f"_off{i}" for i in range(len(vcols))] + [
+        f"_offn{i}" for i in range(len(vcols))
+    ]
+    offa = off.select(
+        *[F.col(c).alias(f"_k{j}") for j, c in enumerate(pcols)],
+        F.col("_qb").alias("_qbo"),
+        *acols,
+    )
+    cond = F.col("_qb") == F.col("_qbo")
+    for j, c in enumerate(pcols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_k{j}"))
+    out = b.join(F.broadcast(offa), cond, "left")
     for i, (v, o) in enumerate(zip(vcols, ocols)):
+        # default frame with orderBy = RANGE UNBOUNDED PRECEDING..CURRENT
+        # ROW. Non-null-seen-so-far = within-bucket count + carried
+        # count; while it is 0 the SQL running SUM is NULL, afterwards
+        # NULL bucket heads coalesce to 0 so the carried total persists.
+        seen = F.count(v).over(w) + F.coalesce(F.col(f"_offn{i}"), F.lit(0))
         out = out.withColumn(
-            o, F.sum(v).over(w) + F.coalesce(F.col(f"_off{i}"), F.lit(0))
+            o,
+            F.when(
+                seen > 0,
+                F.coalesce(F.sum(v).over(w), F.lit(0))
+                + F.coalesce(F.col(f"_off{i}"), F.lit(0)),
+            ),
         )
-    return out.drop("_qb", *[f"_off{i}" for i in range(len(vcols))])
+    return out.drop(
+        "_qb", "_qbo",
+        *[f"_k{j}" for j in range(len(pcols))],
+        *acols,
+    )
 
 
 def token_budget_mix(
@@ -158,6 +212,7 @@ def token_budget_mix(
     domain_col: str,
     budget,
     buckets: int = 32,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Quality-greedy token-budget selection — the data-recipe builder:
     per domain, rank documents by quality score (descending) and keep
@@ -186,8 +241,10 @@ def token_budget_mix(
         m, "quality", "n_tokens", "cum_tokens",
         partition_cols=[domain_col], descending=True, buckets=buckets,
         # m is 4 narrow columns but costs a regex tokenization pipeline
-        # per row — compute it once, not once per cumsum action
+        # per row — compute it once, not once per cumsum action; pass a
+        # `persisted` list to reclaim the cache after materializing
         persist_input=True,
+        persisted=persisted,
     )
     if isinstance(budget, dict):
         pairs = [x for d, v in sorted(budget.items()) for x in (F.lit(d), F.lit(int(v)))]

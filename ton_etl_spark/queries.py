@@ -2762,57 +2762,15 @@ FROM d
 """
 
 
+# Registry order is deliberate: the external correctness driver checks only
+# the FIRST 50 entries.  Round-5 rotation (VERDICT r4 "Next round" #1): the
+# 27 queries added in round 4 that had never been driver-checked
+# (split_counts .. cumulative_volume — the LLM-curation tier and the
+# prefix-sum family) now occupy the front of the dict, followed by 23
+# long-proven queries retained as regression canaries.  Entries past
+# position 50 have all been driver-green in CORRECTNESS_r01..r04.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "latest_state": q_latest_state,
-    "state_dedup": q_state_dedup,
-    "asof_join": q_asof_join,
-    "decayed_avg": q_decayed_avg,
-    "daily_rollup": q_daily_rollup,
-    "hourly_windows": q_hourly_windows,
-    "chain_signature": q_chain_signature,
-    "except_dedup": q_except_dedup,
-    "exclusion_antijoin": q_exclusion_antijoin,
-    "union_convert": q_union_convert,
-    "running_window": q_running_window,
-    "user_sessions": q_user_sessions,
-    "parent_event": q_parent_event,
-    "explode_props": q_explode_props,
-    "debezium_roundtrip": q_debezium_roundtrip,
-    "trade_decimal": q_trade_decimal,
-    "csv_struct": q_csv_struct,
-    "content_codec": q_content_codec,
-    "relay_export": q_relay_export,
-    "volume_rules": q_volume_rules,
-    "pricing_summary": q_pricing_summary,
-    "region_revenue": q_region_revenue,
-    "topk_orders": q_topk_orders,
-    "distinct_brands": q_distinct_brands,
-    "opcode_roundtrip": q_opcode_roundtrip,
-    "normalize_address": q_normalize_address,
-    "text_analyze": q_text_analyze,
-    "exact_dup_groups": q_exact_dup_groups,
-    "jaccard_pairs": q_jaccard_pairs,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "minhash_near_dup": q_minhash_near_dup,
-    "simhash_pairs": q_simhash_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "near_dup_curation": q_near_dup_curation,
-    "near_dup_pipeline": q_near_dup_pipeline,
-    "stratified_sample": q_stratified_sample,
-    "cosine_topk": q_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "embedding_norms": q_embedding_norms,
-    "ivf_ann_topk": q_ivf_ann_topk,
-    "ivf_ann_topk_full": q_ivf_ann_topk_full,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "approx_distinct_users": q_approx_distinct_users,
-    "media_features": q_media_features,
-    "video_frames": q_video_frames,
-    "cdc_replay_sql": q_cdc_replay_sql,
-    "top_tvl_tokens": q_top_tvl_tokens,
-    "cdc_replay_demo": q_cdc_replay_demo,
-    "hash_sample": q_hash_sample,
+    # --- round-4 tier, never driver-checked before round 5 (27) ---
     "split_counts": q_split_counts,
     "value_percentiles": q_value_percentiles,
     "curation_pipeline": q_curation_pipeline,
@@ -2840,6 +2798,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mix": q_token_budget_mix,
     "cumulative_users": q_cumulative_users,
     "cumulative_volume": q_cumulative_volume,
+    # --- regression canaries: long-proven driver-green rows (23) ---
+    "latest_state": q_latest_state,
+    "state_dedup": q_state_dedup,
+    "asof_join": q_asof_join,
+    "decayed_avg": q_decayed_avg,
+    "daily_rollup": q_daily_rollup,
+    "hourly_windows": q_hourly_windows,
+    "chain_signature": q_chain_signature,
+    "except_dedup": q_except_dedup,
+    "union_convert": q_union_convert,
+    "user_sessions": q_user_sessions,
+    "parent_event": q_parent_event,
+    "debezium_roundtrip": q_debezium_roundtrip,
+    "trade_decimal": q_trade_decimal,
+    "content_codec": q_content_codec,
+    "relay_export": q_relay_export,
+    "volume_rules": q_volume_rules,
+    "pricing_summary": q_pricing_summary,
+    "region_revenue": q_region_revenue,
+    "text_analyze": q_text_analyze,
+    "exact_dup_groups": q_exact_dup_groups,
+    "minhash_near_dup": q_minhash_near_dup,
+    "cosine_topk": q_cosine_topk,
+    "ivf_ann_topk_full": q_ivf_ann_topk_full,
+    # --- past the driver's 50-entry window: all driver-green r01..r04 ---
+    "exclusion_antijoin": q_exclusion_antijoin,
+    "running_window": q_running_window,
+    "explode_props": q_explode_props,
+    "csv_struct": q_csv_struct,
+    "topk_orders": q_topk_orders,
+    "distinct_brands": q_distinct_brands,
+    "opcode_roundtrip": q_opcode_roundtrip,
+    "normalize_address": q_normalize_address,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "near_dup_curation": q_near_dup_curation,
+    "near_dup_pipeline": q_near_dup_pipeline,
+    "stratified_sample": q_stratified_sample,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_norms": q_embedding_norms,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "approx_distinct_users": q_approx_distinct_users,
+    "media_features": q_media_features,
+    "video_frames": q_video_frames,
+    "cdc_replay_sql": q_cdc_replay_sql,
+    "top_tvl_tokens": q_top_tvl_tokens,
+    "cdc_replay_demo": q_cdc_replay_demo,
+    "hash_sample": q_hash_sample,
 }
 
 ORACLES: dict[str, str] = {
