@@ -150,6 +150,33 @@ def test_simhash_near_dups(spark):
     assert pairs.get((1, 4)) == 0   # identical docs -> identical simhash
 
 
+def test_simhash_portable_hash_matches_python_md5(spark):
+    """portable_hash=True must equal an independent pure-Python md5
+    reference bit-for-bit — this is the property that makes the DuckDB
+    oracle (queries.py O_SIMHASH_NEAR_DUP) structurally exact."""
+    import hashlib
+
+    def ref_sig(text):
+        toks = (text or "").strip().lower().split() or [""]
+        ones = [0] * 64
+        for t in toks:
+            d = hashlib.md5(t.encode()).hexdigest()
+            h = (int(d[:8], 16) << 32) | int(d[8:16], 16)
+            for i in range(64):
+                ones[i] += (h >> i) & 1
+        n = len(toks)
+        sig = sum(1 << i for i in range(64) if 2 * ones[i] > n)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    df = docs_df(spark)
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in DD.simhash(df, "doc_id", "text", portable_hash=True).collect()
+    }
+    want = {r["doc_id"]: ref_sig(r["text"]) for r in df.collect()}
+    assert got == want
+
+
 def test_simhash_block_lsh_full_recall(spark):
     """The pigeonhole block bucketing must find EVERY pair within the
     hamming radius — compare against brute-force all-pairs over the

@@ -194,20 +194,41 @@ def jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, portable_hash: bool = False
+) -> DataFrame:
     """id -> 64-bit SimHash (signed long), computed ENTIRELY JVM-side:
-    explode tokens -> xxhash64 -> 64 conditional-sum bit votes in one
-    hash aggregation (map-side combine + codegen) -> assemble the
+    explode tokens -> 64-bit token hash -> 64 conditional-sum bit votes
+    in one hash aggregation (map-side combine + codegen) -> assemble the
     signature from the vote signs. Replaces a per-token Python blake2b
     loop that was the slowest kernel in the repo. Deterministic across
-    runs and parallelism levels (xxhash64 is seeded, votes are sums)."""
+    runs and parallelism levels (token hashes are seeded, votes are
+    sums).
+
+    `portable_hash=False` (default) uses xxhash64 — fastest, Spark-only.
+    `portable_hash=True` derives the 64 bits from md5(token) (two 32-bit
+    halves of the hex digest), which ANY engine with md5 reproduces
+    bit-for-bit — this is what makes the simhash family ORACLE-CHECKABLE
+    against DuckDB (queries.py simhash_near_dup): same tokens, same md5,
+    same votes, same signature, so cross-engine equality is structural.
+    Cost: md5+conv per token vs one xxhash64 — still JVM codegen, no
+    Python."""
     # Null-text docs must still get a signature (the old kernel's
     # behavior); a null token array would explode to zero rows and the
     # document would silently vanish from the output.
     toks = F.coalesce(_tokens(text_col), F.array(F.lit("")))
-    ex = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
-        F.col(id_col), F.xxhash64(F.col("_t")).alias("_h")
-    )
+    tok = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+    if portable_hash:
+        m = F.md5(F.col("_t"))
+        # hex[1:8] -> bits 32..63, hex[9:16] -> bits 0..31 (conv stays
+        # < 2^32 so the ANSI string->long cast can never overflow;
+        # shiftleft(,32) is a bit op — wraps into the sign, never throws)
+        hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        h = F.xxhash64(F.col("_t"))
+    ex = tok.select(F.col(id_col), h.alias("_h"))
     # Packed bit-vote lanes: 64 separate sum buffers push the aggregate
     # past the whole-stage-codegen field limit (the plan falls back to
     # interpreted eval — the r2 5.0 s regression was almost entirely that
@@ -272,6 +293,7 @@ def simhash_near_dups(
     text_col: str,
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance with GUARANTEED
     candidate recall: the signature is split into max_hamming+1 disjoint
@@ -283,7 +305,7 @@ def simhash_near_dups(
     differing bits fell in the prefix AND collapsed to 2^prefix buckets.)
     """
     n_blocks = n_blocks or (max_hamming + 1)
-    s = simhash(df, id_col, text_col)
+    s = simhash(df, id_col, text_col, portable_hash=portable_hash)
     blocks = s.select(
         F.col(id_col),
         "simhash",

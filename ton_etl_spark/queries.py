@@ -814,6 +814,56 @@ def q_simhash_pairs(spark, sf):  # no SQL oracle: xxhash64 simhash kernel
     return DD.simhash_near_dups(docs, "doc_id", "text", max_hamming=8)
 
 
+def q_simhash_near_dup(spark, sf):
+    """Oracle-green twin for the SimHash family (r4 verdict ask #4):
+    portable_hash=True derives the 64 signature bits from md5(token),
+    which DuckDB reproduces bit-for-bit, so the oracle recomputes the
+    SAME signatures all-pairs and equality is STRUCTURAL — pigeonhole
+    block-LSH guarantees 100% candidate recall within the hamming
+    radius (dedup.py simhash_near_dups), no probabilistic caveat."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return DD.simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=8, portable_hash=True
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# Same md5-derived simhash, recomputed from scratch in SQL: per-token
+# 64 bits = two 32-bit halves of md5 hex (hi -> bits 32..63), per-bit
+# majority votes, hamming = count of disagreeing vote signs. INTEGER
+# casts keep DuckDB's HUGEINT sums out of the output schema.
+O_SIMHASH_NEAR_DUP = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE doc_id < 300
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM t
+),
+votes AS (
+  SELECT doc_id, i,
+         CASE WHEN 2 * sum(CASE WHEN i < 32
+                                THEN (lo >> CAST(i AS INTEGER)) & 1
+                                ELSE (hi >> CAST(i - 32 AS INTEGER)) & 1
+                           END)
+                  > count(*) THEN 1 ELSE 0 END AS bit
+  FROM h, range(64) r(i)
+  GROUP BY doc_id, i
+),
+ham AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+              AS INTEGER) AS hamming
+  FROM votes a JOIN votes b ON a.i = b.i AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+"""
+
+
 def q_dedup_clusters(spark, sf):
     """Transitive near-dup clustering: MinHash-LSH pairs -> distributed
     connected components (min-label propagation + pointer doubling,
@@ -2798,7 +2848,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mix": q_token_budget_mix,
     "cumulative_users": q_cumulative_users,
     "cumulative_volume": q_cumulative_volume,
-    # --- regression canaries: long-proven driver-green rows (23) ---
+    # --- round-5 additions needing a first driver check ---
+    "simhash_near_dup": q_simhash_near_dup,
+    # --- regression canaries: long-proven driver-green rows ---
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
     "asof_join": q_asof_join,
@@ -2893,6 +2945,7 @@ ORACLES: dict[str, str] = {
     "exact_dup_groups": O_EXACT_DUP_GROUPS,
     "jaccard_pairs": O_JACCARD_PAIRS,
     "minhash_near_dup": O_MINHASH_NEAR_DUP,
+    "simhash_near_dup": O_SIMHASH_NEAR_DUP,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "near_dup_curation": O_NEAR_DUP_CURATION,
     "near_dup_pipeline": _o_near_dup_pipeline(),
