@@ -29,12 +29,13 @@ from ton_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 6M default: 6 micro-batches of 1M per run keeps the pooled per-batch
-# statistics (15 warm batches per level over 3 repeats) while holding a
-# full bench under ~55 min — the 8M version (run via BENCH_CDC_EVENTS,
-# recorded in BENCH.md 2026-08-17 20:36:24) is the one BASELINE.md
-# cites; efficiency is batch-size-invariant once batches are 1M.
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "6000000"))
+# 4M default from round 5 (was 6M): 4 micro-batches of 1M per run.
+# Efficiency is batch-size-invariant once batches are 1M (A/B in
+# BENCH.md 05:45), so shrinking the run buys MORE interleaved windows
+# in the same wall budget: 5 repeats x 4M costs what 3 x 6M did while
+# keeping the same 15 pooled warm batches per level — and the paired
+# per-window ratio statistic (below) wants windows, not batches.
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
 # N and 4N cores (in-sandbox proxy for N vs 4N executors). 1 vs 4 by
 # default: this host is an overcommitted shared VM — runs with >=8 busy
 # vCPUs get gang-descheduled in bursts (observed 40-180 s stalls with
@@ -43,9 +44,9 @@ CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "6000000"))
 CDC_LEVELS = tuple(
     int(x) for x in os.environ.get("BENCH_CDC_LEVELS", "1,4").split(",")
 )
-# default 3 repeats keeps a full bench ~35 min (driver-budget-safe);
-# raise to 5+ for tighter medians — BENCH.md retains every run
-CDC_REPEATS = int(os.environ.get("BENCH_CDC_REPEATS", "3"))
+# default 5 repeats (r4 verdict "Next round" #2): five interleaved
+# windows -> five paired ratios, full bench still ~35 min at 4M events
+CDC_REPEATS = int(os.environ.get("BENCH_CDC_REPEATS", "5"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 HEADLINE = [
@@ -320,6 +321,46 @@ def main():
         ideal = CDC_LEVELS[1] / CDC_LEVELS[0]
         warm_ratio = hi["warm_events_per_sec"] / lo["warm_events_per_sec"]
         total_ratio = hi["events_per_sec"] / lo["events_per_sec"]
+
+        # PAIRED per-window ratios (r4 verdict "Next round" #2): the
+        # median-of-rates statistic divides medians that may come from
+        # DIFFERENT noise windows (the r4 driver record's local[1]
+        # median landed on its fast edge, deflating the ratio to 0.799
+        # while every paired window cleared 0.8). Each interleaved
+        # repeat is one window: its local[N] and local[4N] runs are
+        # temporally adjacent, so host drift cancels inside the ratio.
+        # Median of those per-window ratios is the primary efficiency
+        # statistic; the unpaired medians stay reported for continuity.
+        n_windows = min(len(all_runs[str(c)]) for c in CDC_LEVELS)
+
+        def _paired(key):
+            ratios = []
+            for rep in range(n_windows):
+                a = all_runs[str(CDC_LEVELS[0])][rep].get(key)
+                b = all_runs[str(CDC_LEVELS[1])][rep].get(key)
+                if a and b:
+                    ratios.append(b / a)
+            ratios.sort()
+            return ratios
+
+        paired_warm = _paired("warm_events_per_sec")
+        paired_total = _paired("events_per_sec")
+        # per-window BATCH-median ratio: median warm-batch rate within
+        # each window per level, then the ratio — robust to a single
+        # stalled batch inside an otherwise clean window
+        paired_batch = []
+        for rep in range(n_windows):
+            pair = []
+            for c in CDC_LEVELS:
+                rates = sorted(
+                    b["rate"]
+                    for b in all_runs[str(c)][rep].get("batches", [])[1:]
+                    if b.get("rate")
+                )
+                pair.append(rates[len(rates) // 2] if rates else None)
+            if pair[0] and pair[1]:
+                paired_batch.append(pair[1] / pair[0])
+        paired_batch.sort()
         batch_ratio = None
         if lo.get("warm_batch_rates") and hi.get("warm_batch_rates"):
             batch_ratio = (
@@ -337,6 +378,19 @@ def main():
             "warm_scaling_efficiency": round(warm_ratio / ideal, 3),
             "total_speedup": round(total_ratio, 3),
             "total_scaling_efficiency": round(total_ratio / ideal, 3),
+            # primary statistic: median of per-window paired ratios
+            # (see comment above) — each entry is one interleaved
+            # window's local[4N]/local[N] from adjacent runs
+            "paired_warm_ratios": [round(r, 3) for r in paired_warm],
+            "paired_warm_scaling_efficiency": round(
+                paired_warm[len(paired_warm) // 2] / ideal, 3
+            ) if paired_warm else None,
+            "paired_total_scaling_efficiency": round(
+                paired_total[len(paired_total) // 2] / ideal, 3
+            ) if paired_total else None,
+            "paired_batch_median_scaling_efficiency": round(
+                paired_batch[len(paired_batch) // 2] / ideal, 3
+            ) if paired_batch else None,
             "state_parity": len(shas) == 1,  # across EVERY run, both levels
             # pre/post single-thread CPU probe per run per level —
             # direct evidence of hypervisor contention in each run's
@@ -396,6 +450,11 @@ def _append_bench_md(results: dict) -> None:
             f"{cdc['ideal']}x = efficiency {cdc['warm_scaling_efficiency']} "
             f"(total-wall: {cdc['total_scaling_efficiency']}, "
             f"batch-median: {cdc.get('batch_median_scaling_efficiency')})\n"
+            f"  - PAIRED per-window efficiencies (primary): warm "
+            f"{cdc.get('paired_warm_scaling_efficiency')}, total "
+            f"{cdc.get('paired_total_scaling_efficiency')}, batch-median "
+            f"{cdc.get('paired_batch_median_scaling_efficiency')} "
+            f"(warm ratios per window: {cdc.get('paired_warm_ratios')})\n"
             f"  - final-state sha256 parity across levels: "
             f"{cdc['state_parity']}\n"
         )
