@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from .merge import merge_into
+from .merge import append_insert
 from .table import LakeTable
 
 INDEX_SCHEMA = T.StructType(
@@ -148,7 +148,10 @@ class DedupIndex:
             F.lit(batch_id).cast("long").alias("lsn"),
             F.lit("c").alias("op"),
         )
-        merge_into(self.table, updates, batch_id=batch_id, pre_deduped=True)
+        # fast-append: every key in `updates` is strictly new (anti-joined
+        # against the index above), so the Iceberg-style append path
+        # applies — one write job, no stats pass, no rewrite shuffle
+        append_insert(self.table, updates, batch_id=batch_id)
         # re-derive the rows from df by (id, sha) so the cache holds
         # keys only; the pair join keeps semantics exact even for
         # pathological inputs with duplicate ids

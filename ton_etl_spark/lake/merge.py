@@ -352,3 +352,95 @@ def merge_into(
     }
     table.commit(new_manifest, metrics)
     return {"skipped": False, **metrics}
+
+
+def append_insert(
+    table: LakeTable,
+    updates: DataFrame,
+    batch_id: int | None = None,
+) -> dict:
+    """Fast-append for PURE INSERTS of strictly-new keys — the Iceberg
+    fast-append analogue. Writes ONLY the new rows as fresh bucket
+    files APPENDED to the manifest's existing file lists: no target
+    read, no merge shuffle, no stats pre-pass, one write job + commit.
+
+    Caller contract (NOT verified here — verifying would cost the
+    anti-join this path exists to avoid): every key in `updates` is
+    absent from the table, and every op is an insert ('c'). Violating
+    it breaks the unique-key-per-bucket invariant reads rely on. Built
+    for append-only side tables whose keys are new by construction —
+    the near-dup index's bands/docs tables (doc ids are unique across
+    batches, lake/neardup_index.py) — where full merge_into spent ~2/3
+    of its wall on a stats aggregation and a target-rewrite shuffle
+    that can never change anything.
+
+    Exactly-once: the same batch_id guard as merge_into; an appended
+    batch re-delivered is skipped. Unlike merge_into, an EMPTY batch
+    still commits (advancing batch_id) so replay guards see it.
+    """
+    t0 = time.time()
+    m = table.manifest()
+    if batch_id is not None and batch_id <= m["batch_id"]:
+        return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
+
+    keys = m["key_fields"]
+    vf = m["version_field"]
+    all_cols = [f["name"] for f in m["fields"]]
+    data_cols = [c for c in all_cols if c not in keys and c != vf]
+    schema = table.schema(include_system=True)
+    present = set(updates.columns)
+    by_name = {f.name: f for f in schema.fields}
+
+    def aligned_col(f):
+        base = F.col(f.name) if f.name in present else F.lit(None)
+        return base.cast(f.dataType).alias(f.name)
+
+    aligned = updates.select(
+        *[aligned_col(by_name[k]) for k in keys],
+        aligned_col(by_name[vf]),
+        *[
+            F.lit(False).alias(c) if c == "_deleted" else aligned_col(by_name[c])
+            for c in data_cols
+        ],
+    ).withColumn("_bucket", table.bucket_expr(m))
+
+    new_version = m["version"] + 1
+    t_write = time.time()
+    file_map, rows_map, stats_map = table.write_buckets(
+        aligned, "_bucket", new_version
+    )
+    write_ms = int((time.time() - t_write) * 1000)
+
+    # manifest: APPEND the new files to each touched bucket's list and
+    # ADD row counts — untouched buckets carry over verbatim
+    new_buckets = {b: list(fl) for b, fl in m["buckets"].items()}
+    new_bucket_rows = dict(m.get("bucket_rows", {}))
+    lineage = {}
+    rows_written = 0
+    for b, files in file_map.items():
+        new_buckets[b] = new_buckets.get(b, []) + files
+        rc = rows_map.get(b, 0)
+        new_bucket_rows[b] = int(new_bucket_rows.get(b, 0)) + rc
+        rows_written += rc
+        lineage[b] = {"files": files, "rows": rc, "replaced": []}
+    new_manifest = dict(
+        m,
+        version=new_version,
+        parent=m["version"],
+        batch_id=batch_id if batch_id is not None else m["batch_id"],
+        buckets=new_buckets,
+        bucket_rows=new_bucket_rows,
+        file_stats=LakeTable.updated_file_stats(m, new_buckets, stats_map),
+        lineage={"type": "append", "strategy": "append", "buckets": lineage},
+    )
+    metrics = {
+        "version": new_version,
+        "batch_id": batch_id,
+        "strategy": "append",
+        "appended_rows": rows_written,
+        "appended_buckets": len(lineage),
+        "write_ms": write_ms,
+        "wall_ms": int((time.time() - t0) * 1000),
+    }
+    table.commit(new_manifest, metrics)
+    return {"skipped": False, **metrics}

@@ -75,7 +75,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 open_ = open  # the classmethod below shadows the builtin
 
 from ..operators.dedup import band_rows, minhash_signatures, shingles
-from .merge import merge_into
+from .merge import append_insert
 from .table import LakeTable
 
 BANDS_SCHEMA = T.StructType(
@@ -197,7 +197,13 @@ class NearDupIndex:
                 on=id_col, how="left_semi",
             )
 
-        df = df.dropDuplicates([id_col])
+        # No defensive dropDuplicates: ids are unique by module contract
+        # (they are lake keys). For contract-violating duplicate-id
+        # input the signature aggregation below collapses copies into
+        # one union-of-shingles signature and ALL copies are kept or
+        # dropped together — the former dropDuplicates picked one copy
+        # arbitrarily, which is no better defined, and its shuffle
+        # moved the full batch text once more per call.
         # The signature table feeds three consumers (band rows for the
         # candidate joins, band rows again for the kept-bands merge,
         # and the docs-table signature column); both merges and the
@@ -205,86 +211,79 @@ class NearDupIndex:
         # persist the whole shingle+minhash lineage re-executes per
         # consumer. The cached set is the DELTA's (id, 16 longs) —
         # batch-sized by construction, spills to disk if not.
+        # Exact verification also needs the batch's shingle sets —
+        # compute them ONCE (persisted) and feed the same frame to the
+        # signature aggregation, instead of tokenizing the batch twice.
+        sh_batch = None
+        if corpus_text is not None:
+            sh_batch = shingles(df, id_col, text_col, self.k).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         sig = minhash_signatures(
-            df, id_col, text_col, self.n_perm, self.k
+            df, id_col, text_col, self.n_perm, self.k, shingles_df=sh_batch
         ).persist(StorageLevel.MEMORY_AND_DISK)
         new_bands = band_rows(sig, id_col, self.n_perm, self.bands)
 
-        # ---- candidates (ids only) ----
+        # ---- candidates (ids only), ONE (band, band_hash) join ----
+        # The historical index rows and the batch's own band rows share
+        # the join's build side (r4 verdict ask #3: the within-batch
+        # self-join used to be a SECOND shuffle over the same keys).
+        # Doc ids are unique across batches, so a _same_batch flag is
+        # enough to apply the within-batch lower-id rule post-join.
         pin = self._bands_version_before(batch_id)
         idx_bands = self.bands_table.read(version=pin).select(
-            "band", "band_hash", F.col("doc_id").alias("_old_id")
+            "band", "band_hash",
+            F.col("doc_id").alias("_other"),
+            F.lit(False).alias("_same_batch"),
         )
         nb = new_bands.select(
             F.col(id_col).alias("_new_id"), "band", "band_hash"
         )
-        cross = (
-            nb.join(idx_bands, on=["band", "band_hash"])
-            .select("_new_id", "_old_id").distinct()
+        rhs = idx_bands.unionByName(
+            nb.select(
+                "band", "band_hash",
+                F.col("_new_id").alias("_other"),
+                F.lit(True).alias("_same_batch"),
+            )
         )
-        a, b = nb.alias("a"), nb.alias("b")
-        within = (
-            a.join(
-                b,
-                on=[
-                    F.col("a.band") == F.col("b.band"),
-                    F.col("a.band_hash") == F.col("b.band_hash"),
-                    F.col("a._new_id") > F.col("b._new_id"),
-                ],
-            )
-            # drop the HIGHER id when a lower same-batch near-dup exists
-            .select(
-                F.col("a._new_id").alias("_new_id"),
-                F.col("b._new_id").alias("_low_id"),
-            )
-            .distinct()
+        cand = (
+            nb.join(rhs, on=["band", "band_hash"])
+            # within-batch: drop the HIGHER id when a lower same-batch
+            # near-dup exists; cross: any kept historical doc counts
+            .filter(~F.col("_same_batch") | (F.col("_other") < F.col("_new_id")))
+            .select("_new_id", "_other", "_same_batch")
+            .distinct()  # a pair may match in several bands
         )
 
-        # ---- verification ----
+        # ---- verification: ONE join chain for both pair kinds ----
+        # The right side unions batch shingles/signatures (same-batch
+        # pairs) with historical ones (cross pairs) — disjoint id
+        # spaces, identical predicate, so one verify plan replaces the
+        # former cross/within twin pipelines.
         if corpus_text is not None:
-            sh_new = shingles(df, id_col, text_col, self.k)
-            shn = sh_new.select(
+            shn = sh_batch.select(
                 F.col(id_col).alias("_sid"), F.col("shingles").alias("_sh")
             )
-            old_ids = cross.select(F.col("_old_id").alias(id_col)).distinct()
+            # no .distinct(): the left_semi join below dedups inherently
+            old_ids = (
+                cand.filter(~F.col("_same_batch"))
+                .select(F.col("_other").alias(id_col))
+            )
             sh_old = shingles(
                 corpus_text.join(old_ids, on=id_col, how="left_semi"),
                 id_col, text_col, self.k,
             ).select(
                 F.col(id_col).alias("_sid"), F.col("shingles").alias("_sh")
             )
-
-            def _verified(pairs, left, right, lid, rid):
-                j = F.round(
-                    F.size(F.array_intersect("_sa", "_sb"))
-                    / F.size(F.array_union("_sa", "_sb")),
-                    6,
-                )
-                return (
-                    pairs.join(
-                        left.select(F.col("_sid").alias(lid),
-                                    F.col("_sh").alias("_sa")), lid)
-                    .join(
-                        right.select(F.col("_sid").alias(rid),
-                                     F.col("_sh").alias("_sb")), rid)
-                    .filter(j >= F.lit(threshold))
-                )
-
-            cross_hits = _verified(cross, shn, sh_old, "_new_id", "_old_id")
-            within_hits = _verified(within, shn, shn, "_new_id", "_low_id")
+            left, right = shn, shn.unionByName(sh_old)
+            lcol, rcol, passes = "_sh", "_sh", F.round(
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb")),
+                6,
+            ) >= F.lit(threshold)
         else:
             # signature-estimated Jaccard: fraction of equal minhash
             # components — the pure-index path, zero text re-fetch
-            est = (
-                F.aggregate(
-                    F.zip_with(
-                        "_siga", "_sigb",
-                        lambda x, y: (x == y).cast("int"),
-                    ),
-                    F.lit(0), lambda acc, v: acc + v,
-                )
-                / F.lit(self.n_perm)
-            )
             sign = sig.select(
                 F.col(id_col).alias("_sid"), F.col("signature").alias("_sg")
             )
@@ -293,24 +292,27 @@ class NearDupIndex:
             ).filter(F.col("kept")).select(
                 F.col("doc_id").alias("_sid"), F.col("signature").alias("_sg")
             )
-
-            def _verified(pairs, left, right, lid, rid):
-                return (
-                    pairs.join(
-                        left.select(F.col("_sid").alias(lid),
-                                    F.col("_sg").alias("_siga")), lid)
-                    .join(
-                        right.select(F.col("_sid").alias(rid),
-                                     F.col("_sg").alias("_sigb")), rid)
-                    .filter(est >= F.lit(threshold))
+            left, right = sign, sign.unionByName(old_sigs)
+            lcol, rcol = "_sg", "_sg"
+            passes = (
+                F.aggregate(
+                    F.zip_with(
+                        "_sa", "_sb", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0), lambda acc, v: acc + v,
                 )
-
-            cross_hits = _verified(cross, sign, old_sigs, "_new_id", "_old_id")
-            within_hits = _verified(within, sign, sign, "_new_id", "_low_id")
+                / F.lit(self.n_perm)
+            ) >= F.lit(threshold)
 
         dropped = (
-            cross_hits.select(F.col("_new_id").alias("_did"))
-            .unionByName(within_hits.select(F.col("_new_id").alias("_did")))
+            cand.join(
+                left.select(F.col("_sid").alias("_new_id"),
+                            F.col(lcol).alias("_sa")), "_new_id")
+            .join(
+                right.select(F.col("_sid").alias("_other"),
+                             F.col(rcol).alias("_sb")), "_other")
+            .filter(passes)
+            .select(F.col("_new_id").alias("_did"))
             .distinct()
         )
         # The novel-id set also feeds three consumers (both merges and
@@ -339,8 +341,6 @@ class NearDupIndex:
                 F.lit("c").alias("op"),
             )
         )
-        merge_into(self.bands_table, kept_bands, batch_id=batch_id,
-                   pre_deduped=True)
         doc_updates = (
             sig.select(
                 F.col(id_col).cast("long").alias("doc_id"),
@@ -359,8 +359,18 @@ class NearDupIndex:
                 F.lit("c").alias("op"),
             )
         )
-        merge_into(self.docs_table, doc_updates, batch_id=batch_id,
-                   pre_deduped=True)
-        # both merges have executed; nothing downstream reads sig
+        # Fast-append instead of full merge (r4 verdict ask #3): both
+        # index tables only ever receive strictly-new keys (doc ids are
+        # unique across batches — module contract), so the Iceberg-style
+        # append path applies: one write job per table, no stats
+        # aggregation, no target-rewrite shuffle. Replay stays
+        # exactly-once through the same batch_id guard, and the
+        # crash-between-commits healing is unchanged (the bands read is
+        # version-pinned, a redelivered committed append is skipped).
+        append_insert(self.bands_table, kept_bands, batch_id=batch_id)
+        append_insert(self.docs_table, doc_updates, batch_id=batch_id)
+        # both appends have executed; nothing downstream reads these
         sig.unpersist()
+        if sh_batch is not None:
+            sh_batch.unpersist()
         return novel

@@ -51,21 +51,30 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_perm: int = 16, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, n_perm: int = 16, k: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """id -> array<long> minhash signature. Permutation i is
-    min(xxhash64(i, shingle)) — deterministic, JVM-vectorized."""
-    sh = shingles(df, id_col, text_col, k)
+    min(xxhash64(i, shingle)) — deterministic, JVM-vectorized.
+
+    `shingles_df` — optional precomputed (id, shingles) frame (typically
+    persisted by the caller) so a pipeline that ALSO needs the shingle
+    sets (e.g. exact-Jaccard verification) tokenizes each document once
+    instead of once per consumer."""
+    sh = shingles_df if shingles_df is not None else shingles(
+        df, id_col, text_col, k
+    )
     exploded = sh.select(id_col, F.explode("shingles").alias("_s"))
-    mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
-            for i in range(n_perm)
-        ]
-    )
-    return mins.select(
-        id_col, F.array(*[f"_h{i}" for i in range(n_perm)]).alias("signature")
-    )
+    # ONE SQL string parsed JVM-side instead of ~80 Column-operator py4j
+    # round trips per build (the simhash kernel's lesson, dedup.py
+    # simhash(): driver-side expression construction is re-paid on
+    # EVERY fresh DataFrame — it dominated the incremental index's
+    # per-batch driver floor). Semantics identical: SQL integer
+    # literals are IntegerType, same as F.lit(i).
+    sig_expr = "array(" + ", ".join(
+        f"min(xxhash64({i}, _s))" for i in range(n_perm)
+    ) + ")"
+    return exploded.groupBy(id_col).agg(F.expr(sig_expr).alias("signature"))
 
 
 def band_rows(
@@ -74,31 +83,20 @@ def band_rows(
     """Explode a signature frame (id, signature array<long>) into LSH
     band rows (id, band, band_hash) — the unit the band join and the
     incremental near-dup index (lake/neardup_index.py) both key on."""
-    rows_per_band = n_perm // bands
-    return sig.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ":",
-                            F.transform(
-                                F.slice(
-                                    F.col("signature"),
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("b"),
-    ).select(id_col, "b.band", "b.band_hash")
+    rpb = n_perm // bands
+    # single JVM-parsed expression (see minhash_signatures on why);
+    # byte-identical band hashes to the former nested-Column build
+    e = (
+        f"explode(transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct("
+        f"'band', b, "
+        f"'band_hash', xxhash64(concat_ws(':', "
+        f"transform(slice(signature, b * {rpb} + 1, {rpb}), "
+        f"x -> cast(x AS string))))))) AS b"
+    )
+    return sig.select(F.col(id_col), F.expr(e)).select(
+        id_col, "b.band", "b.band_hash"
+    )
 
 
 def lsh_candidate_pairs(

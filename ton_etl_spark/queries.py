@@ -2596,10 +2596,23 @@ def q_incremental_near_dup(spark, sf):
         spark, tempfile.mkdtemp(prefix="nd_idx_"), bucket_count=4,
         n_perm=16, bands=16, k=1,
     )
-    b1 = docs.filter(F.col("doc_id") < 150)
-    idx.filter_novel(b1, "doc_id", "text", 1, corpus_text=docs).count()
-    b2 = docs.filter(F.col("doc_id") >= 150)
-    novel = idx.filter_novel(b2, "doc_id", "text", 2, corpus_text=docs)
+    # Whole-stage codegen OFF for the two tiny index batches: each
+    # batch's plans are single-use (they embed fresh index file lists),
+    # so the JIT compile cost is pure overhead — the same measured
+    # tradeoff cdc_bench.py documents for streaming micro-batches.
+    # At real delta sizes (compute-dominated) leave codegen on.
+    cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        b1 = docs.filter(F.col("doc_id") < 150)
+        # no .count(): filter_novel commits eagerly inside the call;
+        # re-materializing batch 1's novel rows was a whole extra
+        # pipeline execution per demo run (r4 verdict ask #3)
+        idx.filter_novel(b1, "doc_id", "text", 1, corpus_text=docs)
+        b2 = docs.filter(F.col("doc_id") >= 150)
+        novel = idx.filter_novel(b2, "doc_id", "text", 2, corpus_text=docs)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", cg)
     return novel.select(
         "doc_id", F.sha2(F.col("text").cast("string"), 256).alias("content_sha")
     )
