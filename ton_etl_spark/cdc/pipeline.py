@@ -872,6 +872,7 @@ class CdcPipeline:
         maturity: int | None = None,   # event-age gate in LSN units (F5)
         blacklist=None,  # cdc.blacklist.LearnedBlacklist (F7), opt-in
         cache_batch: bool | None = None,  # persist each raw micro-batch
+        novel_feed=None,  # cdc.curation.NovelContentFeed over this table
     ):
         # the rename-resolution layer is specialized to the (repo, path)
         # key (chained-rename split, synthetic-row construction); wiring
@@ -918,6 +919,22 @@ class CdcPipeline:
             import os as _os
             cache_batch = _os.environ.get("CDC_CACHE_BATCH") == "1"
         self.cache_batch = cache_batch
+        # First-class curation sink (r4 verdict ask #6): a
+        # NovelContentFeed whose change-feed consumer tails THIS
+        # pipeline's table. After each micro-batch's main-table commit
+        # the feed drains inside the same foreachBatch epoch (source
+        # commit -> DedupIndex -> novel sink). Exactly-once does NOT
+        # lean on the streaming checkpoint: the feed's cursor, index
+        # batch guard, and sink merge guard each heal independently, so
+        # a kill between the main-table commit and any feed commit
+        # re-drains on the next epoch (or restart) with the same
+        # version-derived batch id — tested in test_curation_feed.
+        if novel_feed is not None and novel_feed.source.root != table.root:
+            raise ValueError(
+                "novel_feed must consume this pipeline's table "
+                f"({table.root}); it reads {novel_feed.source.root}"
+            )
+        self.novel_feed = novel_feed
 
     def _handle(self, batch_df: DataFrame, batch_id: int) -> None:
         allev = cutoff = None
@@ -965,6 +982,12 @@ class CdcPipeline:
             allev.unpersist()
         if cached is not None:
             cached.unpersist()
+        if self.novel_feed is not None:
+            # drain the curation feed over the commit(s) this epoch just
+            # made — runs before the checkpoint records the batch, so a
+            # crash in here redelivers the batch and the feed's own
+            # guards replay/skip as needed
+            self.novel_feed.run()
         self.batch_results.append(res)
         self.batches_applied += 1
         if self.fail_after is not None and self.batches_applied >= self.fail_after:
@@ -1025,6 +1048,8 @@ class CdcPipeline:
             blacklist=self.blacklist,
         )
         self.gate.clear()
+        if self.novel_feed is not None:
+            self.novel_feed.run()
         self.batch_results.append(res)
         return res
 
@@ -1044,7 +1069,7 @@ class CdcPipeline:
                 "maturity gate requires run_streaming()"
             )
         events = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.event_dir)
-        return apply_batch(
+        res = apply_batch(
             self.spark,
             self.table,
             events,
@@ -1055,3 +1080,6 @@ class CdcPipeline:
             gold=self.gold,
             blacklist=self.blacklist,
         )
+        if self.novel_feed is not None:
+            self.novel_feed.run()
+        return res
