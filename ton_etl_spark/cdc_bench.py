@@ -116,13 +116,18 @@ def main() -> None:
     from ton_etl_spark.session import get_spark
 
     calib_pre = cpu_calibration()
+    # BENCH_CODEGEN=1 re-enables codegen for a periodic A/B re-check of
+    # the interpreted-mode choice (r4 verdict ask #7); results land in
+    # BENCH.md. Everything else stays identical.
+    cg = os.environ.get("BENCH_CODEGEN") == "1"
     spark = get_spark(
         f"cdc-bench-{cores}",
         cores=cores,
         shuffle_partitions=max(cores, 4),
         extra_conf={
-            "spark.sql.codegen.wholeStage": "false",
-            "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+            "spark.sql.codegen.wholeStage": "true" if cg else "false",
+            "spark.sql.codegen.factoryMode":
+                "FALLBACK" if cg else "NO_CODEGEN",
             # AQE OFF for the CDC job: foreachBatch bodies are batch
             # queries and do use AQE — and AdaptiveSparkPlanExec's
             # final-plan update was observed to deadlock (stream thread
