@@ -86,6 +86,7 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_pairs",
     "simhash_near_dup",
+    "wallet_verify_vm",
     "cosine_topk",
     "embedding_near_dup_lsh",
     "ivf_ann_topk",

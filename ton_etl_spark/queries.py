@@ -2825,6 +2825,205 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# E7: get-method VM over account states (operators/getvm.py) — the
+# Spark-first analogue of the reference's TVM-emulator parsers
+# ---------------------------------------------------------------------------
+
+# Driver-authored program registry — the analogue of the reference's
+# per-code-hash parser registration (jetton_wallets_recover.py:20-28).
+# Two wallet code versions store the payload fields in different orders;
+# dispatch happens per code_hash inside each Arrow batch.
+_GETVM_REGISTRY = {
+    # payload "balance|owner|master"
+    "jw_v1": {
+        "get_wallet_data": [
+            ("push_field", 0), ("to_int",),
+            ("push_field", 1),
+            ("push_field", 2),
+            ("push_field", 0), ("to_int",), ("push_const", 100), ("div",),
+        ],
+    },
+    # payload "owner|balance|master"
+    "jw_v2": {
+        "get_wallet_data": [
+            ("push_field", 1), ("to_int",),
+            ("push_field", 0),
+            ("push_field", 2),
+            ("push_field", 1), ("to_int",), ("push_const", 100), ("div",),
+        ],
+    },
+    # master code: payload "salt"; address derivation lives in a library
+    # program so the missing-library retry path (exit 9 -> resolve ->
+    # re-run, emulator.py:119-135) is exercised by the query itself
+    "jm_v1": {
+        "get_wallet_address": [("call_lib", "addr_derive")],
+    },
+}
+
+_GETVM_LIBS = {
+    "addr_derive": [("push_field", 0), ("push_arg", 0), ("concat", "|")],
+}
+
+
+def _wallet_states(spark, sf):
+    """Deterministic jetton-wallet account states synthesized from
+    `customer`: account/code_hash/data(payload). Corruption knobs —
+    custkey % 97 == 0 drops the master field (VM exit 5), % 101 == 0
+    writes an unparseable balance (exit 2) — exercise the NonCritical
+    contract exactly where the reference hits emulator failures."""
+    cust = _t(spark, sf, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long").cast("string")
+    bad_bal = F.when(F.col("c_custkey") % 101 == 0, F.lit("NaN-boc")).otherwise(bal)
+    owner = F.concat(F.lit("0:"), F.col("c_custkey").cast("string"))
+    master = F.concat(F.lit("m:"), F.col("c_nationkey").cast("string"))
+    v1 = F.col("c_custkey") % 2 == 0
+    payload = F.when(
+        F.col("c_custkey") % 97 == 0,
+        # truncated cell: master ref missing
+        F.when(v1, F.concat_ws("|", bad_bal, owner))
+        .otherwise(F.concat_ws("|", owner, bad_bal)),
+    ).otherwise(
+        F.when(v1, F.concat_ws("|", bad_bal, owner, master))
+        .otherwise(F.concat_ws("|", owner, bad_bal, master))
+    )
+    return cust.select(
+        F.concat(F.lit("w:"), F.col("c_custkey").cast("string")).alias("account"),
+        F.when(v1, F.lit("jw_v1")).otherwise(F.lit("jw_v2")).alias("code_hash"),
+        payload.alias("data"),
+    )
+
+
+def q_wallet_data_vm(spark, sf):
+    """E7 `get_wallet_data` (reference jetton_wallets_recover.py:32):
+    run the get-method VM over every wallet state, keep exit-code-0 rows
+    (nonzero = NonCritical skip, emulator.py:42-46), type the stack
+    outputs. Plan shape: one mapInPandas over the scan — no shuffle, no
+    per-row Python; program dispatch is per code_hash within each Arrow
+    batch. The oracle recomputes the same payload parse in SQL,
+    including both corruption exclusions."""
+    from .operators.getvm import run_get_method
+
+    out = run_get_method(
+        _wallet_states(spark, sf), _GETVM_REGISTRY, "get_wallet_data", 4
+    )
+    return out.filter(F.col("vm_exit_code") == 0).select(
+        "account",
+        F.col("out_0").cast("long").alias("balance_micro"),
+        F.col("out_1").alias("owner"),
+        F.col("out_2").alias("master"),
+        F.col("out_3").cast("long").alias("balance_units"),
+    )
+
+
+O_WALLET_DATA_VM = """
+SELECT 'w:' || CAST(c_custkey AS VARCHAR) AS account,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS balance_micro,
+       '0:' || CAST(c_custkey AS VARCHAR) AS owner,
+       'm:' || CAST(c_nationkey AS VARCHAR) AS master,
+       CAST(floor(round(c_acctbal * 100) / 100.0) AS BIGINT) AS balance_units
+FROM customer
+WHERE c_custkey % 97 <> 0 AND c_custkey % 101 <> 0
+"""
+
+
+def q_wallet_verify_vm(spark, sf):
+    """E7 anti-fake verification chain (jetton_wallets_recover.py:38-57):
+    `get_wallet_data` on the wallet -> claimed master; broadcast-join the
+    master's state; run the master's `get_wallet_address(owner)` through
+    the VM (whose program lives in a LIBRARY, initially absent -> every
+    row exits 9 -> the lib_resolver supplies it and the method re-runs,
+    the vectorized twin of the reference's fetch-and-retry); a wallet is
+    kept iff the master-derived address equals the wallet's own account
+    address. Fakes (custkey % 89 == 0 claim a wrong master) derive a
+    different address and are dropped. sha256 address derivation is
+    JVM-side (F.sha2) on the VM's preimage output — the VM stays pure
+    vectorized arithmetic/strings.
+
+    Scale shape: mapInPandas (no shuffle) -> broadcast master dim ->
+    mapInPandas -> column-expr compare. Wallet volume never shuffles.
+    """
+    from .operators.getvm import run_get_method
+
+    nation = _t(spark, sf, "nation")
+    # master states: one per nation; salt payload derives addresses
+    masters = nation.select(
+        F.concat(F.lit("m:"), F.col("n_nationkey").cast("string")).alias("m_account"),
+        F.lit("jm_v1").alias("code_hash"),
+    ).withColumn(
+        "data",
+        F.substring(F.sha2(F.concat(F.lit("salt:"), F.col("m_account")), 256), 1, 8),
+    )
+
+    cust = _t(spark, sf, "customer")
+    owner = F.concat(F.lit("0:"), F.col("c_custkey").cast("string"))
+    true_master = F.concat(F.lit("m:"), F.col("c_nationkey").cast("string"))
+    claimed = F.when(
+        F.col("c_custkey") % 89 == 0,
+        F.concat(F.lit("m:"), ((F.col("c_nationkey") + 7) % 25).cast("string")),
+    ).otherwise(true_master)
+    true_salt = F.substring(
+        F.sha2(F.concat(F.lit("salt:"), true_master), 256), 1, 8
+    )
+    wallets = cust.select(
+        F.substring(
+            F.sha2(F.concat_ws("|", true_salt, owner), 256), 1, 16
+        ).alias("account"),
+        F.lit("jw_v1").alias("code_hash"),
+        F.concat_ws(
+            "|", F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+            owner, claimed,
+        ).alias("data"),
+    )
+
+    wd = run_get_method(
+        wallets, _GETVM_REGISTRY, "get_wallet_data", 4
+    ).filter(F.col("vm_exit_code") == 0).select(
+        "account",
+        F.col("out_0").cast("long").alias("balance_micro"),
+        F.col("out_1").alias("owner"),
+        F.col("out_2").alias("master"),
+    )
+    probe = wd.join(
+        F.broadcast(masters), wd.master == masters.m_account
+    ).select("account", "balance_micro", "owner", "master", "code_hash", "data")
+    ga = run_get_method(
+        probe, _GETVM_REGISTRY, "get_wallet_address", 1,
+        arg_cols=["owner"], libs={},            # library NOT loaded yet
+        lib_resolver=lambda: _GETVM_LIBS,       # exit-9 -> resolve -> retry
+    )
+    derived = F.substring(F.sha2(F.col("out_0"), 256), 1, 16)
+    return (
+        ga.filter(F.col("vm_exit_code") == 0)
+        .filter(derived == F.col("account"))
+        .select("account", "owner", "master", "balance_micro")
+    )
+
+
+O_WALLET_VERIFY_VM = """
+WITH w AS (
+  SELECT c_custkey,
+         '0:' || CAST(c_custkey AS VARCHAR) AS owner,
+         'm:' || CAST(c_nationkey AS VARCHAR) AS tm,
+         CASE WHEN c_custkey % 89 = 0
+              THEN 'm:' || CAST((c_nationkey + 7) % 25 AS VARCHAR)
+              ELSE 'm:' || CAST(c_nationkey AS VARCHAR) END AS cm,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS balance_micro
+  FROM customer
+), x AS (
+  SELECT *,
+         substr(sha256('salt:' || tm), 1, 8) AS ts,
+         substr(sha256('salt:' || cm), 1, 8) AS cs
+  FROM w
+)
+SELECT substr(sha256(ts || '|' || owner), 1, 16) AS account,
+       owner, cm AS master, balance_micro
+FROM x
+WHERE substr(sha256(cs || '|' || owner), 1, 16)
+      = substr(sha256(ts || '|' || owner), 1, 16)
+"""
+
+
 # Registry order is deliberate: the external correctness driver checks only
 # the FIRST 50 entries.  Round-5 rotation (VERDICT r4 "Next round" #1): the
 # 27 queries added in round 4 that had never been driver-checked
@@ -2863,6 +3062,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cumulative_volume": q_cumulative_volume,
     # --- round-5 additions needing a first driver check ---
     "simhash_near_dup": q_simhash_near_dup,
+    "wallet_data_vm": q_wallet_data_vm,
+    "wallet_verify_vm": q_wallet_verify_vm,
     # --- regression canaries: long-proven driver-green rows ---
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -2959,6 +3160,8 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": O_JACCARD_PAIRS,
     "minhash_near_dup": O_MINHASH_NEAR_DUP,
     "simhash_near_dup": O_SIMHASH_NEAR_DUP,
+    "wallet_data_vm": O_WALLET_DATA_VM,
+    "wallet_verify_vm": O_WALLET_VERIFY_VM,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "near_dup_curation": O_NEAR_DUP_CURATION,
     "near_dup_pipeline": _o_near_dup_pipeline(),
