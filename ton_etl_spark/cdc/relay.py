@@ -53,11 +53,16 @@ def run_relay(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int = 4,
-    sink: str = "parquet",                          # 'parquet' | 'kafka'
+    sink: str = "parquet",                # 'parquet' | 'parquet_cas' | 'kafka'
     kafka_bootstrap: str | None = None,
     kafka_topic: str = "streaming_files",
 ) -> None:
     """sink='parquet' is the Avro-file-exporter analogue (K4);
+    sink='parquet_cas' adds the reference's sha256 content-addressed
+    file naming (datalake/main.py:144-150: `<sha256(bytes)[:32]>.avro`
+    under a date partition) via the distributed CAS writer
+    (cas_export.py) inside foreachBatch — redelivered batches rewrite
+    identical names (no-op) and the manifest guard skips them outright;
     sink='kafka' is the public-topic producer relay (K5,
     datalake/streaming.py:94-106) — rows keyed by (repo, path) so
     per-key order survives topic partitioning."""
@@ -75,6 +80,21 @@ def run_relay(
         for k, v in kafka_sink_options(kafka_bootstrap or "", checkpoint_dir).items():
             writer = writer.option(k, v)
         writer = writer.outputMode("append")
+    elif sink == "parquet_cas":
+        from .cas_export import cas_export
+
+        def write_batch(batch_df, batch_id):
+            cas_export(
+                convert_for_export(batch_df), out_dir, "block_date",
+                batch_id=batch_id,
+            )
+
+        # converter runs INSIDE foreachBatch; the stream stays raw so
+        # the checkpoint offsets commit against the source schema only
+        writer = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
     else:
         writer = (
             converted

@@ -530,6 +530,38 @@ FROM documents WHERE doc_id < 300
 """
 
 
+def q_relay_cas_export(spark, sf):
+    """K4 content-addressed exporter (cdc/cas_export.py): the
+    relay_export envelope written through the distributed CAS sink
+    (sha256-of-bytes file names, datalake/main.py:144-150 analogue),
+    then read BACK from the content-addressed files — so the oracle
+    checks the full serialize->hash->publish->scan roundtrip, not just
+    the projection. Written twice on purpose: the second export must
+    produce byte-identical names (idempotence is part of the contract
+    under test; duplicate rows here would fail the count match)."""
+    import tempfile
+
+    from .cdc.cas_export import cas_export
+
+    q = QUERIES["relay_export"]
+    out_dir = tempfile.mkdtemp(prefix="cas_q_")
+    converted = q(spark, sf)
+    cas_export(converted, out_dir, "block_date")
+    cas_export(converted, out_dir, "block_date")  # idempotent rewrite
+    import glob as _g
+    import os as _os
+
+    files = sorted(_g.glob(_os.path.join(out_dir, "block_date=*", "*.parquet")))
+    return spark.read.parquet(*files).select(
+        "repo", "path", "lsn", "commit", "content_sha", "block_date",
+        "size_bytes", "stars",
+    )
+
+
+# same projection as relay_export: the CAS roundtrip must be lossless
+O_RELAY_CAS_EXPORT = O_RELAY_EXPORT
+
+
 def q_volume_rules(spark, sf):
     # A7 analogue: row-wise conditional valuation (estimate_tvl's rule
     # table, swap_volume.py:125-197): per-event USD volume under rules,
@@ -3064,6 +3096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "wallet_data_vm": q_wallet_data_vm,
     "wallet_verify_vm": q_wallet_verify_vm,
+    "relay_cas_export": q_relay_cas_export,
     # --- regression canaries: long-proven driver-green rows ---
     "latest_state": q_latest_state,
     "state_dedup": q_state_dedup,
@@ -3162,6 +3195,7 @@ ORACLES: dict[str, str] = {
     "simhash_near_dup": O_SIMHASH_NEAR_DUP,
     "wallet_data_vm": O_WALLET_DATA_VM,
     "wallet_verify_vm": O_WALLET_VERIFY_VM,
+    "relay_cas_export": O_RELAY_CAS_EXPORT,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "near_dup_curation": O_NEAR_DUP_CURATION,
     "near_dup_pipeline": _o_near_dup_pipeline(),
