@@ -48,11 +48,14 @@ CDC_MFT = int(os.environ.get("BENCH_CDC_MFT", "8"))
 CDC_LEVELS = tuple(
     int(x) for x in os.environ.get("BENCH_CDC_LEVELS", "1,4").split(",")
 )
-# default 4 repeats (r4 verdict "Next round" #2 asked for more paired
-# windows): four interleaved windows -> four paired ratios, ~38 min at
-# 6M events. Codegen-on runs are far less window-sensitive anyway —
-# the local[1] spread collapsed from 15% to ~1% (BENCH.md A/B).
-CDC_REPEATS = int(os.environ.get("BENCH_CDC_REPEATS", "4"))
+# default 5 repeats (r4 verdict "Next round" #2): five interleaved
+# windows -> five paired ratios with a well-defined single-window
+# median (~48 min at 6M events). 4 was tried first; an even count
+# leaves the median between two windows, and on this host the paired
+# TOTAL ratios are bimodal (a ~60 s first-batch stall appears in some
+# local[4] windows — host-scheduling, the warm phase of the same runs
+# is tight), so the two middle windows can straddle the modes.
+CDC_REPEATS = int(os.environ.get("BENCH_CDC_REPEATS", "5"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 HEADLINE = [
@@ -248,8 +251,13 @@ def main():
             med["n_runs"] = len(runs)
 
             def _median(key):
-                vals = sorted(r[key] for r in runs if r.get(key) is not None)
-                return vals[len(vals) // 2] if vals else None
+                # statistics.median: true even-count median (mean of the
+                # middle two) — vals[n//2] is the UPPER median and would
+                # bias every even-repeat statistic optimistically
+                import statistics
+
+                vals = [r[key] for r in runs if r.get(key) is not None]
+                return statistics.median(vals) if vals else None
 
             med["warm_events_per_sec"] = _median("warm_events_per_sec")
             med["events_per_sec"] = _median("events_per_sec")
@@ -351,6 +359,15 @@ def main():
             ratios.sort()
             return ratios
 
+        def _mid(ratios):
+            # true median (even count -> mean of middle two); the
+            # default repeat count is odd so a single window is the
+            # middle, but an env override must not shift the statistic
+            # to the upper median
+            import statistics
+
+            return statistics.median(ratios) if ratios else None
+
         paired_warm = _paired("warm_events_per_sec")
         paired_total = _paired("events_per_sec")
         # per-window BATCH-median ratio: median warm-batch rate within
@@ -390,14 +407,15 @@ def main():
             # (see comment above) — each entry is one interleaved
             # window's local[4N]/local[N] from adjacent runs
             "paired_warm_ratios": [round(r, 3) for r in paired_warm],
+            "paired_total_ratios": [round(r, 3) for r in paired_total],
             "paired_warm_scaling_efficiency": round(
-                paired_warm[len(paired_warm) // 2] / ideal, 3
+                _mid(paired_warm) / ideal, 3
             ) if paired_warm else None,
             "paired_total_scaling_efficiency": round(
-                paired_total[len(paired_total) // 2] / ideal, 3
+                _mid(paired_total) / ideal, 3
             ) if paired_total else None,
             "paired_batch_median_scaling_efficiency": round(
-                paired_batch[len(paired_batch) // 2] / ideal, 3
+                _mid(paired_batch) / ideal, 3
             ) if paired_batch else None,
             "state_parity": len(shas) == 1,  # across EVERY run, both levels
             # pre/post single-thread CPU probe per run per level —

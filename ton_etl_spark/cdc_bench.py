@@ -156,15 +156,24 @@ def main() -> None:
     # parallelism: 35.5 s at local[4] vs 34.4 s at local[1]). 1M warmup
     # events retire the compile debt before the clock at every level
     # (measured: batch-1 wall 58.7 s -> 17.6 s at local[4]).
-    wn = int(os.environ.get("BENCH_WARMUP_EVENTS", "1000000"))
+    # Warmup must match the MEASURED batch shape, not just total volume:
+    # with 2M-event measured batches (mft=8) and a 2x500k warmup, the
+    # first measured batch still pays one-time costs a 500k batch never
+    # reaches (heap growth to the 2M working set, codegen/GC shapes of
+    # the bigger shuffles) — observed as a ~25% total-rate loss at
+    # local[4] in otherwise-clean windows (BENCH.md 2026-08-21). Default
+    # warmup = one batch of exactly the measured size.
+    wn = int(os.environ.get("BENCH_WARMUP_EVENTS", str(mft * 250_000)))
+    wfiles = max(wn // 250_000, 2)
     # the warmup LOG is deterministic and level-independent: cache it
     # beside the main event log, shared by every run of this bench
-    # (generating 1M events costs ~30-60 s x 6 runs otherwise); the
-    # warmup lake/checkpoint stay per-run in `work` and are wiped above
-    wlog = os.path.join(os.path.dirname(log_dir), f"warmup_{wn}")
+    # (generating it costs ~30-60 s x 6 runs otherwise); the warmup
+    # lake/checkpoint stay per-run in `work` and are wiped above
+    wlog = os.path.join(os.path.dirname(log_dir), f"warmup_{wn}_{wfiles}")
     if not os.path.exists(os.path.join(wlog, "_DONE")):
         generate_event_log(
-            wlog, GenParams(n_events=wn, n_repos=max(wn // 4000, 20), n_files=2)
+            wlog,
+            GenParams(n_events=wn, n_repos=max(wn // 4000, 20), n_files=wfiles),
         )
         open(os.path.join(wlog, "_DONE"), "w").write("ok")
     wtable = LakeTable.create(
@@ -179,7 +188,7 @@ def main() -> None:
     # the hypervisor) while batch warmup left local[1] unaffected
     wpipe = CdcPipeline(
         spark, wtable, wlog, os.path.join(work, "warmup_cp"),
-        max_files_per_trigger=1,
+        max_files_per_trigger=wfiles,   # ONE warmup batch, measured-size
     )
     wpipe.monitor.refresh_every = 1000
     wpipe.run_streaming(available_now=True)
