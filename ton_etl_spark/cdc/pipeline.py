@@ -1082,4 +1082,8 @@ class CdcPipeline:
         )
         if self.novel_feed is not None:
             self.novel_feed.run()
+        # keep the applied-work counters consistent with streaming mode
+        # (the CLI's replay summary reported "batches": 0 otherwise)
+        self.batch_results.append(res)
+        self.batches_applied += 1
         return res
